@@ -1,0 +1,283 @@
+"""Typed dataclass config tree + the five staged presets.
+
+The reference (`[RECALL]` SURVEY.md section 1.3) used per-script argparse flags;
+this framework replaces that with one typed config tree (SURVEY.md section 6.6).
+The five presets are the staged acceptance configs of BASELINE.json:7-11.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture (BASELINE.json:5 -- CNN backbone + proprio MLP,
+    late-fused by concat into a shared pose-regression head)."""
+
+    # one of: "none" (proprio-only), "cnn_small", "resnet18", "resnet50"
+    backbone: str = "resnet18"
+    # cameras used as image inputs; one encoder per camera (BASELINE.json:11)
+    cameras: Tuple[str, ...] = ("agentview",)
+    image_size: int = 128          # 64 / 128 / 224 (BASELINE.json:8-10)
+    # proprioceptive branch (BASELINE.json:5,7)
+    use_proprio: bool = True
+    proprio_dim: int = 32          # robot state vector width
+    proprio_hidden: Tuple[int, ...] = (256, 256)
+    proprio_features: int = 128    # proprio embedding width
+    image_features: int = 512      # image embedding width (per camera)
+    head_hidden: Tuple[int, ...] = (512, 256)
+    # temporal stacking: number of recent frames stacked as input
+    # (BASELINE.json:11). 1 = no stacking.
+    temporal_frames: int = 1
+    # "channel" stacks T frames along channels; proprio always flattens T*D.
+    temporal_mode: str = "channel"
+    # compute dtype policy; params always float32 (BASELINE.json:10 bf16 path)
+    dtype: str = "float32"         # "float32" | "bfloat16"
+    # use hand-written Pallas fused kernels where available (XLA fusion is the
+    # default-correct fallback, SURVEY.md section 8 hard-part 4)
+    use_pallas: bool = False
+    # BatchNorm semantics: torch momentum 0.1 == flax momentum 0.9
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
+    # imagenet-style per-channel normalization applied ON DEVICE to uint8 input
+    image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclass
+class DataConfig:
+    """Data source + host pipeline (BASELINE.json:5 -- HDF5/robosuite-style
+    ingestion, async host pipeline so the TPU never stalls)."""
+
+    source: str = "synthetic"      # "synthetic" | "hdf5"
+    path: str = ""                 # HDF5 file path when source == "hdf5"
+    batch_size: int = 64           # GLOBAL batch size (split across chips)
+    num_workers: int = 8           # host decode/augment threads
+    prefetch: int = 2              # device-side prefetch depth (double buffer)
+    shuffle: bool = True
+    seed: int = 0
+    # HDF5 layout keys (robomimic-style; SURVEY.md section 4.4)
+    image_key_format: str = "obs/{camera}_image"
+    proprio_key: str = "obs/robot0_proprio-state"
+    # target pose: 7 leading dims of this key = pos(3) + quat(4)
+    target_key: str = "obs/object"
+    # augmentation (C2, BASELINE.json:5,10). Applied on host in uint8;
+    # normalize happens on device fused into the model input stage.
+    augment: bool = True
+    crop_scale: Tuple[float, float] = (0.8, 1.0)   # random resized crop area
+    hflip_prob: float = 0.5
+    jitter_brightness: float = 0.2
+    jitter_contrast: float = 0.2
+    jitter_saturation: float = 0.2
+    jitter_prob: float = 0.8
+    # synthetic source parameters (C15, BASELINE.json:7)
+    synthetic_size: int = 4096     # samples per epoch
+    synthetic_noise: float = 0.01
+    # use the native C++ host-augment shim when built (runtime/)
+    use_native: bool = True
+
+
+@dataclass
+class TrainConfig:
+    """Training loop (C7-C9; BASELINE.json:5)."""
+
+    steps: int = 1000
+    optimizer: str = "adam"        # "adam" | "adamw" | "sgd"
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    warmup_steps: int = 0
+    lr_schedule: str = "constant"  # "constant" | "cosine"
+    grad_clip: float = 0.0         # 0 = off
+    # loss weighting: L = pos_weight * MSE(pos) + rot_weight * quat_loss
+    pos_weight: float = 1.0
+    rot_weight: float = 1.0
+    rot_loss: str = "chordal"      # "chordal" (1-<q,q'>^2) | "geodesic"
+    seed: int = 0
+    log_every: int = 50
+    eval_every: int = 500
+    eval_steps: int = 16           # batches per eval pass
+    ckpt_every: int = 500
+    ckpt_dir: str = "/tmp/rppe_ckpt"
+    ckpt_keep: int = 3
+    resume: str = "auto"           # "auto" | "none" | explicit step
+    metrics_path: str = ""         # JSONL metrics file ("" = ckpt_dir/metrics.jsonl)
+    tensorboard: bool = False
+    debug_nans: bool = False       # jax_debug_nans mode (SURVEY.md section 6.2)
+
+
+@dataclass
+class DistConfig:
+    """Parallelism (C12; BASELINE.json:5,11). Pure DP over a 1-D mesh:
+    batch sharded on 'data', params replicated, gradient psum compiled into
+    the step by XLA over ICI (SURVEY.md section 3.2)."""
+
+    num_devices: int = 0           # 0 = all visible devices
+    data_axis: str = "data"
+    # multi-host: call jax.distributed.initialize before mesh construction
+    multihost: bool = False
+    coordinator: str = ""
+    num_processes: int = 1
+    process_id: int = 0
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
+    name: str = "custom"
+
+    # ---- serialization ----------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        def build(dc_cls, sub):
+            fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise KeyError(f"unknown config key {dc_cls.__name__}.{k}")
+                ftype = fields[k].type
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return dc_cls(**kwargs)
+
+        return cls(
+            model=build(ModelConfig, d.get("model", {})),
+            data=build(DataConfig, d.get("data", {})),
+            train=build(TrainConfig, d.get("train", {})),
+            dist=build(DistConfig, d.get("dist", {})),
+            name=d.get("name", "custom"),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, **dotted: Any) -> "Config":
+        """Apply dotted-path overrides, e.g. cfg.override(**{"train.lr": 3e-4})."""
+        d = self.to_dict()
+        for path, value in dotted.items():
+            parts = path.split(".")
+            node = d
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config key {path}")
+            node[parts[-1]] = value
+        d["name"] = d.get("name", self.name)
+        return Config.from_dict(d)
+
+
+# ---------------------------------------------------------------------------
+# The five staged presets (BASELINE.json:7-11) -- the acceptance ladder.
+# ---------------------------------------------------------------------------
+
+
+def _pr1() -> Config:
+    """Proprio-only MLP pose regressor on synthetic state vectors, batch 32,
+    CPU-runnable (BASELINE.json:7)."""
+    return Config(
+        name="pr1_proprio_synthetic",
+        model=ModelConfig(
+            backbone="none", cameras=(), use_proprio=True,
+            proprio_dim=32, proprio_hidden=(256, 256), proprio_features=128,
+            head_hidden=(256, 128),
+        ),
+        data=DataConfig(source="synthetic", batch_size=32, augment=False,
+                        num_workers=0),
+        train=TrainConfig(steps=2000, lr=1e-3, eval_every=500, ckpt_every=1000),
+    )
+
+
+def _pr2() -> Config:
+    """Small 4-layer CNN, RGB-only pose regression on 64x64 renders,
+    batch 64 (BASELINE.json:8)."""
+    return Config(
+        name="pr2_cnn_small_64",
+        model=ModelConfig(
+            backbone="cnn_small", cameras=("agentview",), image_size=64,
+            use_proprio=False, image_features=256, head_hidden=(256, 128),
+        ),
+        data=DataConfig(source="hdf5", batch_size=64, augment=True),
+        train=TrainConfig(steps=5000, lr=1e-3),
+    )
+
+
+def _pr3() -> Config:
+    """ResNet-18 RGB + proprio-MLP late-fusion on robosuite Lift demos,
+    128x128 (BASELINE.json:9)."""
+    return Config(
+        name="pr3_resnet18_lift_128",
+        model=ModelConfig(
+            backbone="resnet18", cameras=("agentview",), image_size=128,
+            use_proprio=True, image_features=512, proprio_features=128,
+        ),
+        data=DataConfig(source="hdf5", batch_size=128, augment=True),
+        train=TrainConfig(steps=20000, lr=1e-4, optimizer="adamw",
+                          weight_decay=1e-4),
+    )
+
+
+def _pr4() -> Config:
+    """ResNet-50 fusion, full augmentation, 224x224, bf16 (BASELINE.json:10)."""
+    return Config(
+        name="pr4_resnet50_224_bf16",
+        model=ModelConfig(
+            backbone="resnet50", cameras=("agentview",), image_size=224,
+            use_proprio=True, image_features=1024, dtype="bfloat16",
+        ),
+        data=DataConfig(source="hdf5", batch_size=256, augment=True,
+                        num_workers=16),
+        train=TrainConfig(steps=50000, lr=3e-4, optimizer="adamw",
+                          weight_decay=1e-4, lr_schedule="cosine",
+                          warmup_steps=1000),
+    )
+
+
+def _pr5() -> Config:
+    """Dual-camera (wrist+agentview) two-encoder fusion with temporal
+    stacking, data-parallel on v5e-8 (BASELINE.json:11)."""
+    return Config(
+        name="pr5_dualcam_temporal_dp8",
+        model=ModelConfig(
+            backbone="resnet18",
+            cameras=("agentview", "robot0_eye_in_hand"),
+            image_size=128, use_proprio=True, temporal_frames=3,
+            dtype="bfloat16",
+        ),
+        data=DataConfig(source="hdf5", batch_size=1024, augment=True,
+                        num_workers=32),
+        train=TrainConfig(steps=50000, lr=3e-4, optimizer="adamw",
+                          weight_decay=1e-4, lr_schedule="cosine",
+                          warmup_steps=1000),
+        dist=DistConfig(num_devices=8),
+    )
+
+
+PRESETS = {
+    "pr1": _pr1,
+    "pr2": _pr2,
+    "pr3": _pr3,
+    "pr4": _pr4,
+    "pr5": _pr5,
+}
+
+
+def preset(name: str) -> Config:
+    """Return one of the five staged acceptance configs (BASELINE.json:7-11)."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]()

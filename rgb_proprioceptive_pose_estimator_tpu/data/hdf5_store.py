@@ -1,0 +1,259 @@
+"""Robosuite/robomimic-style HDF5 demo-trajectory store (C1,
+BASELINE.json:5,9).
+
+Layout read (SURVEY.md section 4.4, robomimic convention):
+
+    data/
+      demo_0/
+        obs/<camera>_image          (T, H, W, 3) uint8
+        obs/robot0_proprio-state    (T, D) float
+        obs/object                  (T, >=7) float; [:3]=pos, [3:7]=quat
+      demo_1/ ...
+
+Indexing is flat over (demo, t) pairs. Temporal stacking (C11) gathers the
+T most recent frames with clamp-at-episode-start padding. h5py handles are
+per-thread (h5py is not safe across threads on a shared handle --
+SURVEY.md section 4.4); small tensors (proprio, targets) are cached in RAM
+at init, images optionally (`cache_images`).
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from rgb_proprioceptive_pose_estimator_tpu.data import augment as aug
+
+
+def _natural_key(s: str):
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", s)]
+
+
+class HDF5DemoStore:
+    def __init__(
+        self,
+        path: str,
+        cameras: Sequence[str] = ("agentview",),
+        image_size: int = 128,
+        temporal_frames: int = 1,
+        image_key_format: str = "obs/{camera}_image",
+        proprio_key: str = "obs/robot0_proprio-state",
+        target_key: str = "obs/object",
+        use_proprio: bool = True,
+        cache_images: Optional[bool] = None,   # None = auto (< 4 GiB)
+        crop_scale: Tuple[float, float] = (0.8, 1.0),
+        hflip_prob: float = 0.5,
+        jitter_brightness: float = 0.2,
+        jitter_contrast: float = 0.2,
+        jitter_saturation: float = 0.2,
+        jitter_prob: float = 0.8,
+    ):
+        self.path = path
+        self.cameras = tuple(cameras)
+        self.image_size = image_size
+        self.temporal_frames = temporal_frames
+        self.image_key_format = image_key_format
+        self.proprio_key = proprio_key
+        self.target_key = target_key
+        self.use_proprio = use_proprio
+        self._aug_kwargs = dict(
+            crop_scale=crop_scale, hflip_prob=hflip_prob,
+            jitter_brightness=jitter_brightness,
+            jitter_contrast=jitter_contrast,
+            jitter_saturation=jitter_saturation, jitter_prob=jitter_prob,
+        )
+        self._local = threading.local()
+
+        # Build the flat (demo, t) index + cache small tensors.
+        self._proprio: List[np.ndarray] = []
+        self._pos: List[np.ndarray] = []
+        self._quat: List[np.ndarray] = []
+        self._demo_keys: List[str] = []
+        index: List[Tuple[int, int]] = []
+        img_bytes = 0
+        with h5py.File(path, "r") as f:
+            demos = sorted(f["data"].keys(), key=_natural_key)
+            for di, dk in enumerate(demos):
+                g = f["data"][dk]
+                tgt = np.asarray(g[self.target_key], dtype=np.float32)
+                steps = tgt.shape[0]
+                self._demo_keys.append(dk)
+                self._pos.append(tgt[:, :3])
+                q = tgt[:, 3:7]
+                q = q / np.maximum(
+                    np.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+                self._quat.append(q.astype(np.float32))
+                if use_proprio:
+                    self._proprio.append(
+                        np.asarray(g[self.proprio_key], dtype=np.float32))
+                for cam in self.cameras:
+                    ds = g[self.image_key_format.format(camera=cam)]
+                    img_bytes += int(np.prod(ds.shape)) * ds.dtype.itemsize
+                index.extend((di, t) for t in range(steps))
+        self._index = np.asarray(index, dtype=np.int64)
+        self.proprio_dim = (
+            self._proprio[0].shape[-1] if (use_proprio and self._proprio) else 0)
+
+        if cache_images is None:
+            cache_images = img_bytes < (4 << 30)
+        self._image_cache: Optional[Dict[Tuple[int, str], np.ndarray]] = None
+        if cache_images:
+            cache: Dict[Tuple[int, str], np.ndarray] = {}
+            with h5py.File(path, "r") as f:
+                for di, dk in enumerate(self._demo_keys):
+                    g = f["data"][dk]
+                    for cam in self.cameras:
+                        cache[(di, cam)] = np.asarray(
+                            g[self.image_key_format.format(camera=cam)])
+            self._image_cache = cache
+
+    # -- low-level access ---------------------------------------------------
+
+    def _file(self) -> h5py.File:
+        f = getattr(self._local, "f", None)
+        if f is None:
+            f = h5py.File(self.path, "r")
+            self._local.f = f
+        return f
+
+    def _read_frames(self, demo: int, cam: str, ts: np.ndarray) -> np.ndarray:
+        """Frames (len(ts), H, W, 3) uint8; ts may repeat (clamped padding)."""
+        if self._image_cache is not None:
+            return self._image_cache[(demo, cam)][ts]
+        ds = self._file()["data"][self._demo_keys[demo]][
+            self.image_key_format.format(camera=cam)]
+        uniq, inv = np.unique(ts, return_inverse=True)
+        return np.asarray(ds[uniq])[inv]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    # -- batch assembly (runs inside pipeline worker threads) ----------------
+
+    def get_batch(self, indices: np.ndarray, augment: bool = False,
+                  seed: int = 0) -> Dict:
+        tf = self.temporal_frames
+        hw = self.image_size
+        n = len(indices)
+        batch: Dict = {}
+
+        if self.cameras:
+            images = {
+                cam: np.empty(
+                    (n, hw, hw, 3) if tf == 1 else (n, tf, hw, hw, 3),
+                    dtype=np.uint8)
+                for cam in self.cameras
+            }
+        else:
+            images = None
+        proprio = None
+        if self.use_proprio:
+            pshape = (n, self.proprio_dim) if tf == 1 else (
+                n, tf, self.proprio_dim)
+            proprio = np.empty(pshape, dtype=np.float32)
+        tpos = np.empty((n, 3), dtype=np.float32)
+        tquat = np.empty((n, 4), dtype=np.float32)
+
+        for bi, flat in enumerate(indices):
+            demo, t = self._index[flat]
+            ts = np.clip(np.arange(t - tf + 1, t + 1), 0, None)
+            sample_seed = (seed * 1_000_003 + int(flat)) % (2 ** 31 - 1)
+            for cam in (self.cameras or ()):
+                frames = self._read_frames(demo, cam, ts)
+                out = []
+                for fr in frames:
+                    if augment:
+                        # identical RNG per frame -> temporally-consistent
+                        # crop/flip/jitter across the stack
+                        rs = np.random.RandomState(sample_seed)
+                        out.append(aug.augment_image(fr, hw, rs,
+                                                     **self._aug_kwargs))
+                    else:
+                        out.append(aug.center_crop_resize(fr, hw))
+                stack = np.stack(out) if tf > 1 else out[0]
+                images[cam][bi] = stack
+            if proprio is not None:
+                p = self._proprio[demo][ts]
+                proprio[bi] = p if tf > 1 else p[0]
+            tpos[bi] = self._pos[demo][t]
+            tquat[bi] = self._quat[demo][t]
+
+        if images is not None:
+            batch["images"] = images
+        if proprio is not None:
+            batch["proprio"] = proprio
+        batch["target_pos"] = tpos
+        batch["target_quat"] = tquat
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# Fixture generator (SURVEY.md section 5.2: tests build a tiny generated
+# robosuite-layout file rather than shipping binary data).
+# ---------------------------------------------------------------------------
+
+
+def write_demo_fixture(
+    path: str,
+    n_demos: int = 3,
+    steps: int = 20,
+    cameras: Sequence[str] = ("agentview", "robot0_eye_in_hand"),
+    image_hw: int = 84,
+    proprio_dim: int = 32,
+    seed: int = 0,
+) -> str:
+    """Write a tiny robomimic-layout HDF5 demo file whose images are
+    *informative*: a bright marker is drawn at the pixel projection of the
+    target position, so a CNN can actually regress the pose -- this is what
+    makes the image-path integration test a real learning test."""
+    rs = np.random.RandomState(seed)
+    with h5py.File(path, "w") as f:
+        data = f.create_group("data")
+        data.attrs["env"] = "Lift_fixture"
+        data.attrs["repository_version"] = "rppe_tpu_fixture_v1"
+        for d in range(n_demos):
+            g = data.create_group(f"demo_{d}")
+            # smooth random-walk pose
+            pos = np.empty((steps, 3), np.float32)
+            pos[0] = rs.uniform(0.25, 0.75, 3)
+            for t in range(1, steps):
+                pos[t] = np.clip(pos[t - 1] + rs.randn(3) * 0.03, 0.05, 0.95)
+            quat = rs.randn(steps, 4).astype(np.float32)
+            quat[0] = [1, 0, 0, 0]
+            for t in range(1, steps):
+                quat[t] = quat[t - 1] + rs.randn(4) * 0.1
+            quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+
+            obj = np.zeros((steps, 14), np.float32)
+            obj[:, :3] = pos
+            obj[:, 3:7] = quat
+            obj[:, 7:10] = rs.randn(steps, 3) * 0.1   # filler (gripper-to-obj)
+
+            proprio = rs.randn(steps, proprio_dim).astype(np.float32) * 0.3
+            proprio[:, :3] = pos                       # proprio is informative
+            proprio[:, 3:7] = quat
+
+            obs = g.create_group("obs")
+            for cam in cameras:
+                imgs = rs.randint(0, 40, (steps, image_hw, image_hw, 3),
+                                  dtype=np.uint8)  # dark noise background
+                for t in range(steps):
+                    cy = int(pos[t, 1] * (image_hw - 1))
+                    cx = int(pos[t, 0] * (image_hw - 1))
+                    r = max(2, int(2 + pos[t, 2] * 6))
+                    y0, y1 = max(0, cy - r), min(image_hw, cy + r)
+                    x0, x1 = max(0, cx - r), min(image_hw, cx + r)
+                    color = (np.array([1, 0.2, 0.2]) * 255 * quat[t, 0] ** 2
+                             + np.array([0.2, 0.2, 1]) * 255
+                             * (1 - quat[t, 0] ** 2))
+                    imgs[t, y0:y1, x0:x1] = color.astype(np.uint8)
+                obs.create_dataset(f"{cam}_image", data=imgs)
+            obs.create_dataset("robot0_proprio-state", data=proprio)
+            obs.create_dataset("object", data=obj)
+            g.create_dataset("actions", data=rs.randn(steps, 7).astype(np.float32))
+            g.attrs["num_samples"] = steps
+    return path

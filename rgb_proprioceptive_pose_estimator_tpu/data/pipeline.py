@@ -1,0 +1,197 @@
+"""Async host -> device input pipeline (BASELINE.json:5 "async host
+pipeline so the TPU never stalls on image decode").
+
+Stages (SURVEY.md section 4.4):
+  1. checkpointable index sampler (seeded per-epoch permutation),
+  2. worker threads building uint8 numpy batches (decode/crop/flip/jitter --
+     cv2/numpy release the GIL; optionally the native C++ shim),
+  3. in-order emission (deterministic regardless of worker count),
+  4. non-blocking `jax.device_put` onto the data-sharded mesh with a
+     `prefetch`-deep device queue (double buffering) -- normalization
+     happens on device inside the model graph.
+
+Fixed global batch size; partial batches are dropped (recompilation
+discipline, SURVEY.md section 8 hard-part 5). The sampler state
+{seed, consumed} is saved in checkpoints so resume continues mid-epoch
+(SURVEY.md section 6.4).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from rgb_proprioceptive_pose_estimator_tpu.config import Config, DataConfig
+from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import HDF5DemoStore
+from rgb_proprioceptive_pose_estimator_tpu.data.synthetic import (
+    SyntheticProprioDataset,
+)
+
+
+def build_dataset(cfg: Config):
+    """Construct the dataset named by cfg.data.source (C1/C15)."""
+    d, m = cfg.data, cfg.model
+    if d.source == "synthetic":
+        return SyntheticProprioDataset(
+            size=d.synthetic_size,
+            proprio_dim=m.proprio_dim,
+            noise=d.synthetic_noise,
+            seed=d.seed,
+            temporal_frames=m.temporal_frames,
+        )
+    if d.source == "hdf5":
+        if not d.path:
+            raise ValueError("cfg.data.path required for hdf5 source")
+        return HDF5DemoStore(
+            d.path,
+            cameras=m.cameras if m.backbone != "none" else (),
+            image_size=m.image_size,
+            temporal_frames=m.temporal_frames,
+            image_key_format=d.image_key_format,
+            proprio_key=d.proprio_key,
+            target_key=d.target_key,
+            use_proprio=m.use_proprio,
+            crop_scale=d.crop_scale,
+            hflip_prob=d.hflip_prob,
+            jitter_brightness=d.jitter_brightness,
+            jitter_contrast=d.jitter_contrast,
+            jitter_saturation=d.jitter_saturation,
+            jitter_prob=d.jitter_prob,
+        )
+    raise ValueError(f"unknown data source {d.source!r}")
+
+
+class HostPipeline:
+    """Infinite (train) or single-epoch (eval) iterator of device batches."""
+
+    def __init__(self, dataset, cfg: DataConfig, sharding=None,
+                 train: bool = True, batch_size: Optional[int] = None):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.sharding = sharding
+        self.train = train
+        self.batch_size = batch_size or cfg.batch_size
+        if len(dataset) < self.batch_size:
+            raise ValueError(
+                f"dataset size {len(dataset)} < batch size {self.batch_size}")
+        self.batches_per_epoch = len(dataset) // self.batch_size
+        self.augment = bool(cfg.augment) and train
+
+        self._consumed = 0            # global batch counter (checkpoint state)
+        self._scheduled = 0
+        self._pool: Optional[ThreadPoolExecutor] = None
+        if cfg.num_workers > 0:
+            self._pool = ThreadPoolExecutor(
+                max_workers=cfg.num_workers,
+                thread_name_prefix="rppe-data")
+        self._inflight: "collections.deque[Future]" = collections.deque()
+        self._device_q: "collections.deque" = collections.deque()
+        self._max_inflight = max(cfg.num_workers * 2, 1)
+        self._max_device = max(cfg.prefetch, 1)
+
+    # -- sampler -------------------------------------------------------------
+
+    def _indices_for(self, global_batch: int) -> np.ndarray:
+        epoch, pos = divmod(global_batch, self.batches_per_epoch)
+        if self.train and self.cfg.shuffle:
+            perm = np.random.RandomState(
+                (self.cfg.seed + epoch) % (2 ** 31 - 1)
+            ).permutation(len(self.dataset))
+        else:
+            perm = np.arange(len(self.dataset))
+        lo = pos * self.batch_size
+        return perm[lo:lo + self.batch_size]
+
+    def _build(self, global_batch: int) -> Dict[str, Any]:
+        idx = self._indices_for(global_batch)
+        seed = (self.cfg.seed * 7_919 + global_batch) % (2 ** 31 - 1)
+        return self.dataset.get_batch(idx, augment=self.augment, seed=seed)
+
+    # -- pipeline mechanics ----------------------------------------------------
+
+    def _schedule(self, limit: Optional[int] = None) -> None:
+        while len(self._inflight) < self._max_inflight:
+            if limit is not None and self._scheduled >= limit:
+                return
+            gb = self._scheduled
+            self._scheduled += 1
+            if self._pool is not None:
+                self._inflight.append(self._pool.submit(self._build, gb))
+            else:
+                f: Future = Future()
+                f.set_result(self._build(gb))
+                self._inflight.append(f)
+
+    def _to_device(self, np_batch: Dict[str, Any]):
+        if self.sharding is None:
+            return jax.device_put(np_batch)
+        from rgb_proprioceptive_pose_estimator_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(np_batch, self.sharding)
+
+    def _fill_device_q(self, limit: Optional[int] = None) -> None:
+        self._schedule(limit)
+        while len(self._device_q) < self._max_device and self._inflight:
+            np_batch = self._inflight.popleft().result()
+            self._device_q.append(self._to_device(np_batch))  # async transfer
+            self._schedule(limit)
+
+    def queue_depth(self) -> int:
+        """Host-side ready batches -- the 'TPU starving' canary
+        (SURVEY.md section 6.5)."""
+        return sum(f.done() for f in self._inflight) + len(self._device_q)
+
+    # -- iteration -------------------------------------------------------------
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        """Infinite stream of device batches (training)."""
+        self._fill_device_q()
+        self._consumed += 1
+        return self._device_q.popleft()
+
+    def epoch(self) -> Iterator:
+        """One deterministic pass over the dataset (evaluation)."""
+        if self.train:
+            raise RuntimeError(
+                "epoch() is for eval pipelines (train=False); a training "
+                "pipeline's sampler state would be corrupted")
+        limit = self.batches_per_epoch
+        self._reset()
+        for _ in range(limit):
+            self._fill_device_q(limit)
+            yield self._device_q.popleft()
+        self._reset()
+
+    def _reset(self) -> None:
+        for f in self._inflight:
+            f.cancel()
+        self._inflight.clear()
+        self._device_q.clear()
+        self._scheduled = self._consumed
+
+    # -- checkpointable state ---------------------------------------------------
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"consumed": int(self._consumed), "seed": int(self.cfg.seed),
+                "batch_size": int(self.batch_size)}
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        if int(state.get("batch_size", self.batch_size)) != self.batch_size:
+            raise ValueError("cannot resume with a different batch size")
+        self._consumed = int(state["consumed"])
+        self._reset()
+
+    def close(self) -> None:
+        self._reset()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None

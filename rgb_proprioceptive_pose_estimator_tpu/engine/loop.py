@@ -1,0 +1,138 @@
+"""Epoch/step driver (SURVEY.md section 4.1 "new framework" stack).
+
+Host-side orchestration only -- every numerically-relevant operation lives
+inside the jitted steps. The loop overlaps host work with device work: the
+device queue in HostPipeline keeps `prefetch` batches in flight, metrics
+are fetched only at log points, checkpoints are async.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from rgb_proprioceptive_pose_estimator_tpu.config import Config
+from rgb_proprioceptive_pose_estimator_tpu.data.pipeline import (
+    HostPipeline,
+    build_dataset,
+)
+from rgb_proprioceptive_pose_estimator_tpu.engine.state import (
+    TrainState,
+    create_state,
+)
+from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from rgb_proprioceptive_pose_estimator_tpu.models.fusion import build_model
+from rgb_proprioceptive_pose_estimator_tpu.parallel import mesh as pmesh
+from rgb_proprioceptive_pose_estimator_tpu.utils.checkpoint import CheckpointManager
+from rgb_proprioceptive_pose_estimator_tpu.utils.metrics import MetricsLogger
+
+
+def evaluate_pipeline(eval_step, state: TrainState, pipeline: HostPipeline,
+                      max_batches: int = 0) -> Dict[str, float]:
+    """Average eval metrics over (up to) one epoch (SURVEY.md section 4.2)."""
+    sums: Dict[str, float] = {}
+    n = 0
+    for i, batch in enumerate(pipeline.epoch()):
+        if max_batches and i >= max_batches:
+            break
+        m = jax.device_get(eval_step(state, batch))
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}
+
+
+def fit(cfg: Config) -> Dict[str, Any]:
+    """Train per cfg; returns {state, model, mesh, metrics, ckpt_dir}."""
+    tcfg = cfg.train
+    if tcfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    pmesh.init_distributed(cfg.dist)
+    mesh = pmesh.make_mesh(cfg.dist.num_devices, cfg.dist.data_axis)
+    n_dev = mesh.devices.size
+    if cfg.data.batch_size % n_dev != 0:
+        raise ValueError(
+            f"global batch {cfg.data.batch_size} not divisible by "
+            f"{n_dev} devices")
+    bsh = pmesh.batch_sharding(mesh, cfg.dist.data_axis)
+    rsh = pmesh.replicated_sharding(mesh)
+
+    model = build_model(cfg.model)
+    tx = make_optimizer(tcfg)
+    state = create_state(cfg, tx, seed=tcfg.seed)
+    state = jax.device_put(state, rsh)
+
+    dataset = build_dataset(cfg)
+    train_pipe = HostPipeline(dataset, cfg.data, sharding=bsh, train=True)
+    eval_pipe = HostPipeline(dataset, cfg.data, sharding=bsh, train=False)
+
+    ckpt = CheckpointManager(tcfg.ckpt_dir, keep=tcfg.ckpt_keep)
+    start_step = 0
+    if tcfg.resume == "auto" and ckpt.latest_step() is not None:
+        state, data_state, start_step = ckpt.restore(state)
+        if data_state is not None:
+            train_pipe.load_state_dict(data_state)
+        state = jax.device_put(state, rsh)
+
+    train_step = make_train_step(model, tx, tcfg)
+    eval_step = make_eval_step(model, tcfg)
+
+    metrics_path = tcfg.metrics_path or f"{tcfg.ckpt_dir}/metrics.jsonl"
+    logger = MetricsLogger(metrics_path, tensorboard=tcfg.tensorboard,
+                           tb_dir=tcfg.ckpt_dir)
+
+    last_metrics: Dict[str, float] = {}
+    t_log = time.perf_counter()
+    for step_i in range(start_step, tcfg.steps):
+        batch = next(train_pipe)
+        state, m = train_step(state, batch)
+
+        step1 = step_i + 1
+        if step1 % tcfg.log_every == 0 or step1 == tcfg.steps:
+            m = jax.device_get(m)          # forces device sync at log points
+            now = time.perf_counter()
+            dt = now - t_log
+            t_log = now
+            steps_done = min(tcfg.log_every, step1 - start_step) or 1
+            imgs = cfg.data.batch_size * steps_done
+            last_metrics = {k: float(v) for k, v in m.items()}
+            last_metrics.update({
+                "images_per_sec": imgs / dt,
+                "images_per_sec_per_chip": imgs / dt / n_dev,
+                "host_queue_depth": train_pipe.queue_depth(),
+                "lr_step": step1,
+            })
+            logger.log(step1, last_metrics, prefix="train/")
+
+        if tcfg.eval_every and (step1 % tcfg.eval_every == 0
+                                or step1 == tcfg.steps):
+            em = evaluate_pipeline(eval_step, state, eval_pipe,
+                                   max_batches=tcfg.eval_steps)
+            logger.log(step1, em, prefix="eval/")
+            last_metrics.update({f"eval_{k}": v for k, v in em.items()})
+            t_log = time.perf_counter()   # don't bill eval to train throughput
+
+        if tcfg.ckpt_every and step1 % tcfg.ckpt_every == 0:
+            ckpt.save(step1, state, data_state=train_pipe.state_dict())
+
+    ckpt.save(tcfg.steps, state, data_state=train_pipe.state_dict())
+    ckpt.wait()
+    logger.close()
+    train_pipe.close()
+    eval_pipe.close()
+
+    return {
+        "state": state,
+        "model": model,
+        "mesh": mesh,
+        "metrics": last_metrics,
+        "ckpt_dir": tcfg.ckpt_dir,
+    }

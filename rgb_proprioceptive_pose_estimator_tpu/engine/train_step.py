@@ -1,0 +1,108 @@
+"""The jitted train/eval steps -- the hot loop (SURVEY.md section 4.1).
+
+One XLA program per step: forward, loss, backward, data-parallel gradient
+psum, optax update, BN running-stat update (BASELINE.json:5 "one jitted XLA
+graph with data-parallel psum across chips"). The psum is not written by
+hand: with the batch sharded on the 'data' mesh axis and parameters
+replicated, XLA's SPMD partitioner inserts the all-reduce over ICI.
+
+Recompilation discipline (SURVEY.md section 8 hard-part 5): fixed batch
+shapes (the pipeline drops/pads partial batches) and donated state buffers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rgb_proprioceptive_pose_estimator_tpu.config import Config, TrainConfig
+from rgb_proprioceptive_pose_estimator_tpu.engine.state import TrainState
+from rgb_proprioceptive_pose_estimator_tpu.losses.pose import pose_loss, pose_metrics
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.lr,
+            warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=max(cfg.steps, cfg.warmup_steps + 1),
+        )
+    elif cfg.warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    else:
+        lr = cfg.lr
+
+    if cfg.optimizer == "adam":
+        tx = optax.adam(lr)
+    elif cfg.optimizer == "adamw":
+        tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd":
+        tx = optax.sgd(lr, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    cfg: TrainConfig) -> Callable:
+    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (pos, quat), mutated = model.apply(
+            variables, batch, train=True, mutable=["batch_stats"])
+        loss, aux = pose_loss(
+            pos, quat, batch["target_pos"], batch["target_quat"],
+            pos_weight=cfg.pos_weight, rot_weight=cfg.rot_weight,
+            rot_loss=cfg.rot_loss)
+        return loss, (aux, mutated["batch_stats"])
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+        grads, (aux, new_batch_stats) = grad_fn(
+            state.params, state.batch_stats, batch)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(aux)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model, cfg: TrainConfig) -> Callable:
+    """Jitted eval step: frozen BN running stats, no augmentation
+    (SURVEY.md section 4.2); returns loss components + cm/deg MAE."""
+
+    def step(state: TrainState, batch) -> Dict[str, jax.Array]:
+        pos, quat = model.apply(state.variables(), batch, train=False)
+        _, aux = pose_loss(
+            pos, quat, batch["target_pos"], batch["target_quat"],
+            pos_weight=cfg.pos_weight, rot_weight=cfg.rot_weight,
+            rot_loss=cfg.rot_loss)
+        aux.update(pose_metrics(pos, quat, batch["target_pos"],
+                                batch["target_quat"]))
+        return aux
+
+    return jax.jit(step)
+
+
+def make_predict_fn(model) -> Callable:
+    """Jitted inference: batch -> (pos, quat). Used by api.predict."""
+
+    def fwd(variables, batch):
+        return model.apply(variables, batch, train=False)
+
+    return jax.jit(fwd)

@@ -1,0 +1,73 @@
+"""Pose regression loss and evaluation metrics.
+
+Capability C6 (BASELINE.json:2,5): loss = MSE(position) + geodesic/quaternion
+orientation distance; tracked metrics are position MAE in cm and orientation
+MAE in degrees. The training default for orientation is the smooth
+antipodal-safe chordal surrogate 1 - <q,q'>^2; the arccos geodesic form is
+available behind `rot_loss="geodesic"` (clamped -- SURVEY.md section 8
+hard-part 3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rgb_proprioceptive_pose_estimator_tpu.ops import pose_math
+
+
+def pose_loss(
+    pred_pos: jax.Array,
+    pred_quat: jax.Array,
+    target_pos: jax.Array,
+    target_quat: jax.Array,
+    pos_weight: float = 1.0,
+    rot_weight: float = 1.0,
+    rot_loss: str = "chordal",
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Return (scalar loss, aux dict). Inputs: (..., 3) and (..., 4).
+
+    `pred_quat` need not be pre-normalized; it is normalized here (the model
+    head also normalizes, which makes this a no-op there, but keeps the loss
+    safe standalone). Loss math runs in float32 regardless of compute dtype.
+    """
+    pred_pos = pred_pos.astype(jnp.float32)
+    pred_quat = pose_math.quat_normalize(pred_quat.astype(jnp.float32))
+    target_pos = target_pos.astype(jnp.float32)
+    target_quat = pose_math.quat_normalize(target_quat.astype(jnp.float32))
+
+    pos_l = jnp.mean(jnp.sum(jnp.square(pred_pos - target_pos), axis=-1))
+    if rot_loss == "chordal":
+        rot_l = jnp.mean(pose_math.quat_chordal_distance(pred_quat, target_quat))
+    elif rot_loss == "geodesic":
+        rot_l = jnp.mean(pose_math.quat_geodesic_angle(pred_quat, target_quat))
+    else:
+        raise ValueError(f"unknown rot_loss {rot_loss!r}")
+
+    loss = pos_weight * pos_l + rot_weight * rot_l
+    aux = {"loss": loss, "pos_loss": pos_l, "rot_loss": rot_l}
+    return loss, aux
+
+
+def pose_metrics(
+    pred_pos: jax.Array,
+    pred_quat: jax.Array,
+    target_pos: jax.Array,
+    target_quat: jax.Array,
+) -> Dict[str, jax.Array]:
+    """Evaluation metrics matching the reference's reporting units
+    (BASELINE.json:2 "pose MAE (cm / deg)"): positions are in meters ->
+    cm; orientation error is the geodesic angle in degrees."""
+    pred_pos = pred_pos.astype(jnp.float32)
+    pred_quat = pose_math.quat_normalize(pred_quat.astype(jnp.float32))
+    target_pos = target_pos.astype(jnp.float32)
+    target_quat = pose_math.quat_normalize(target_quat.astype(jnp.float32))
+
+    pos_err_m = jnp.linalg.norm(pred_pos - target_pos, axis=-1)
+    ang_rad = pose_math.quat_geodesic_angle(pred_quat, target_quat)
+    return {
+        "pos_mae_cm": jnp.mean(pos_err_m) * 100.0,
+        "rot_mae_deg": jnp.mean(ang_rad) * (180.0 / jnp.pi),
+    }

@@ -1,0 +1,127 @@
+"""Late-fusion pose estimator: per-camera CNN encoders + proprio MLP,
+concatenated into a shared pose-regression head (C5/C10/C11,
+BASELINE.json:5,11).
+
+Input batch dict convention (produced by `data/`):
+    batch["images"][camera] : uint8 (B, H, W, C) or (B, T, H, W, C)
+    batch["proprio"]        : float32 (B, D) or (B, T, D)
+    batch["target_pos"]     : float32 (B, 3)      [training/eval only]
+    batch["target_quat"]    : float32 (B, 4)      [training/eval only]
+
+Output: (pos (B, 3) float32, quat (B, 4) float32 unit-normalized).
+
+Temporal stacking (BASELINE.json:11): T frames stack along channels
+((B,T,H,W,C) -> (B,H,W,T*C)) before the encoder; proprio flattens to T*D.
+This keeps everything in-replica (SURVEY.md section 6.7 -- no sequence
+parallelism needed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rgb_proprioceptive_pose_estimator_tpu.config import ModelConfig
+from rgb_proprioceptive_pose_estimator_tpu.models.cnn_small import CNNSmall
+from rgb_proprioceptive_pose_estimator_tpu.models.proprio_mlp import ProprioMLP
+from rgb_proprioceptive_pose_estimator_tpu.models.resnet import ResNet18, ResNet50
+from rgb_proprioceptive_pose_estimator_tpu.ops.image_device import normalize_images
+from rgb_proprioceptive_pose_estimator_tpu.ops.pose_math import quat_normalize
+
+
+def _stack_temporal(img: jax.Array) -> jax.Array:
+    """(B, T, H, W, C) -> (B, H, W, T*C)."""
+    if img.ndim == 4:
+        return img
+    b, t, h, w, c = img.shape
+    return jnp.transpose(img, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+
+
+class PoseEstimator(nn.Module):
+    cfg: ModelConfig
+
+    def _encoder(self, name: str):
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        if cfg.backbone == "cnn_small":
+            return CNNSmall(features=cfg.image_features, dtype=dtype,
+                            use_pallas=cfg.use_pallas, name=name)
+        if cfg.backbone == "resnet18":
+            return ResNet18(features=cfg.image_features, dtype=dtype,
+                            use_pallas=cfg.use_pallas, name=name)
+        if cfg.backbone == "resnet50":
+            return ResNet50(features=cfg.image_features, dtype=dtype,
+                            use_pallas=cfg.use_pallas, name=name)
+        raise ValueError(f"unknown backbone {self.cfg.backbone!r}")
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        feats = []
+
+        if cfg.backbone != "none":
+            images = batch["images"]
+            # one encoder per camera (C10, BASELINE.json:11)
+            for cam in cfg.cameras:
+                img = _stack_temporal(images[cam])
+                x = normalize_images(img, cfg.image_mean, cfg.image_std,
+                                     dtype=dtype, use_pallas=cfg.use_pallas)
+                feats.append(self._encoder(f"encoder_{cam}")(x, train))
+
+        if cfg.use_proprio:
+            feats.append(
+                ProprioMLP(hidden=cfg.proprio_hidden,
+                           features=cfg.proprio_features, dtype=dtype,
+                           name="proprio")(batch["proprio"])
+            )
+
+        if not feats:
+            raise ValueError("model has neither image nor proprio inputs")
+
+        # late fusion by concat (C5, BASELINE.json:5)
+        h = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
+        for i, hd in enumerate(cfg.head_hidden):
+            h = nn.Dense(hd, dtype=dtype, param_dtype=jnp.float32,
+                         name=f"head{i}")(h)
+            h = nn.relu(h)
+        out = nn.Dense(7, dtype=jnp.float32, param_dtype=jnp.float32,
+                       name="pose_out")(h.astype(jnp.float32))
+        pos = out[..., :3]
+        quat = quat_normalize(out[..., 3:])
+        return pos, quat
+
+
+def build_model(cfg: ModelConfig) -> PoseEstimator:
+    return PoseEstimator(cfg=cfg)
+
+
+def example_batch(cfg: ModelConfig, batch_size: int = 2,
+                  rng: int = 0) -> Dict[str, Any]:
+    """A host-side example batch with the model's input structure
+    (used for init, compile checks, and the graft entry)."""
+    import numpy as np
+
+    rs = np.random.RandomState(rng)
+    batch: Dict[str, Any] = {}
+    if cfg.backbone != "none":
+        t = cfg.temporal_frames
+        hw = cfg.image_size
+        shape = (batch_size, hw, hw, 3) if t == 1 else (batch_size, t, hw, hw, 3)
+        batch["images"] = {
+            cam: rs.randint(0, 256, size=shape, dtype=np.uint8)
+            for cam in cfg.cameras
+        }
+    if cfg.use_proprio:
+        t = cfg.temporal_frames
+        shape = (batch_size, cfg.proprio_dim) if t == 1 else (
+            batch_size, t, cfg.proprio_dim)
+        batch["proprio"] = rs.randn(*shape).astype(np.float32)
+    batch["target_pos"] = rs.randn(batch_size, 3).astype(np.float32)
+    q = rs.randn(batch_size, 4).astype(np.float32)
+    batch["target_quat"] = (q / np.linalg.norm(q, axis=-1, keepdims=True))
+    return batch

@@ -1,0 +1,168 @@
+"""Hand-written Pallas TPU kernels for the memory-bound hot ops.
+
+Two kernels (SURVEY.md section 3.1 "native-code ledger"):
+
+1. ``pallas_normalize_u8`` -- the fused host-to-device input stage
+   (BASELINE.json:5): uint8 image -> compute-dtype ``(x/255 - mean)/std``
+   in one pass over HBM. Memory-bound; fusing the cast with the affine
+   normalize halves the HBM traffic vs materializing an f32 intermediate.
+
+2. ``scale_bias_relu`` -- the fused per-channel affine + ReLU epilogue of a
+   conv+BN+ReLU block (BASELINE.json:5 "conv+BN+ReLU blocks lower to
+   Pallas/XLA fusions"), with a custom VJP so it is usable in training.
+   BN statistics (reductions) stay in XLA; the elementwise apply is Pallas.
+
+Both are flag-gated (`ModelConfig.use_pallas`); the XLA fusion path is the
+default-correct fallback (SURVEY.md section 8 hard-part 4). On CPU backends
+the kernels run in Pallas interpreter mode so the unit tests exercise the
+same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    # Pallas TPU kernels only compile on TPU; interpret elsewhere (CPU tests).
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: fused uint8 -> normalized compute-dtype image stage
+# ---------------------------------------------------------------------------
+
+
+def _normalize_kernel(x_ref, scale_ref, shift_ref, o_ref):
+    x = x_ref[:].astype(jnp.float32)
+    o_ref[:] = (x * scale_ref[:] + shift_ref[:]).astype(o_ref.dtype)
+
+
+def pallas_normalize_u8(
+    images: jax.Array,
+    mean: Sequence[float],
+    std: Sequence[float],
+    dtype: jnp.dtype,
+) -> jax.Array:
+    """uint8 (..., C) -> dtype, ((x/255) - mean) / std, one fused pass.
+
+    The image is viewed as (rows, LANE) with LANE = lcm(C, 128) so the
+    per-channel constants become a periodic LANE-vector broadcast down the
+    sublane axis -- this sidesteps the C=3 lane-tiling problem (TPU lane
+    dim wants multiples of 128; see pallas_guide 'Tiling Constraints').
+    """
+    if images.dtype != jnp.uint8:
+        raise ValueError("pallas_normalize_u8 expects uint8 input")
+    c = images.shape[-1]
+    if len(mean) != c:
+        raise ValueError("stats length must equal channel dim")
+
+    total = math.prod(images.shape)
+    lane = (c * 128) // math.gcd(c, 128)
+    if total % lane != 0:
+        # odd shapes: fall back to plain XLA
+        m = jnp.asarray(mean, jnp.float32)
+        s = jnp.asarray(std, jnp.float32)
+        x = images.astype(jnp.float32) * (1.0 / 255.0)
+        return ((x - m) / s).astype(dtype)
+
+    rows = total // lane
+    reps = lane // c
+    # x_norm = u8 * (1/(255*std)) + (-mean/std), tiled to the LANE period
+    scale_c = [1.0 / (255.0 * s) for s in std]
+    shift_c = [-m / s for m, s in zip(mean, std)]
+    scale = jnp.asarray(scale_c * reps, jnp.float32).reshape(1, lane)
+    shift = jnp.asarray(shift_c * reps, jnp.float32).reshape(1, lane)
+
+    x2d = images.reshape(rows, lane)
+    block_rows = min(rows, 1024)
+    grid = (pl.cdiv(rows, block_rows),)
+
+    out = pl.pallas_call(
+        _normalize_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, lane), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, lane), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, lane), dtype),
+        interpret=_interpret(),
+    )(x2d, scale, shift)
+    return out.reshape(images.shape)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: fused per-channel scale*x + bias -> ReLU (BN-apply epilogue)
+# ---------------------------------------------------------------------------
+
+
+def _sbr_kernel(x_ref, s_ref, b_ref, o_ref):
+    x = x_ref[:].astype(jnp.float32)
+    y = jnp.maximum(x * s_ref[:] + b_ref[:], 0.0)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _sbr_forward(x2d: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    m, c = x2d.shape
+    block_m = min(m, 1024)
+    grid = (pl.cdiv(m, block_m),)
+    return pl.pallas_call(
+        _sbr_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c), x2d.dtype),
+        interpret=_interpret(),
+    )(x2d, scale, bias)
+
+
+@jax.custom_vjp
+def scale_bias_relu(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    """relu(x * scale + bias) with per-channel (last-dim) scale/bias.
+
+    x: (..., C) any float dtype; scale/bias: (C,) float32. Forward is a
+    Pallas kernel; backward is closed-form in XLA:
+        mask   = (x*scale + bias) > 0
+        dx     = g * mask * scale
+        dscale = sum(g * mask * x);  dbias = sum(g * mask)
+    """
+    c = x.shape[-1]
+    y2d = _sbr_forward(x.reshape(-1, c), scale.reshape(1, c), bias.reshape(1, c))
+    return y2d.reshape(x.shape)
+
+
+def _sbr_fwd(x, scale, bias):
+    return scale_bias_relu(x, scale, bias), (x, scale, bias)
+
+
+def _sbr_bwd(res, g):
+    x, scale, bias = res
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    pre = xf * scale + bias
+    mask = (pre > 0).astype(jnp.float32)
+    gm = gf * mask
+    dx = (gm * scale).astype(x.dtype)
+    reduce_axes = tuple(range(x.ndim - 1))
+    dscale = jnp.sum(gm * xf, axis=reduce_axes).astype(scale.dtype)
+    dbias = jnp.sum(gm, axis=reduce_axes).astype(bias.dtype)
+    return dx, dscale, dbias
+
+
+scale_bias_relu.defvjp(_sbr_fwd, _sbr_bwd)

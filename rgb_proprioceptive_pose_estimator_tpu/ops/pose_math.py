@@ -1,0 +1,100 @@
+"""Quaternion / pose math, pure jax.numpy.
+
+Quaternions are unit 4-vectors. All distance functions used for losses and
+metrics depend only on the inner product <q, q'> and are therefore invariant
+to the (w,x,y,z) vs (x,y,z,w) storage convention as long as predictions and
+targets are consistent, and to the antipodal sign ambiguity q ~ -q
+(SURVEY.md section 8 hard-part 3). Capability grounding: C6 (BASELINE.json:2,5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Keep a margin from |dot| == 1 so arccos' gradient (which blows up like
+# 1/sqrt(1-x^2)) stays finite (SURVEY.md section 8 hard-part 3).
+_ACOS_CLIP = 1.0 - 1e-6
+
+
+def quat_normalize(q: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Normalize to a unit quaternion; safe at q == 0."""
+    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(norm, eps)
+
+
+def quat_conjugate(q: jax.Array) -> jax.Array:
+    """(w, x, y, z) -> (w, -x, -y, -z)."""
+    return q * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_multiply(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Hamilton product, (w, x, y, z) convention, broadcasting over batch."""
+    aw, ax, ay, az = jnp.moveaxis(a, -1, 0)
+    bw, bx, by, bz = jnp.moveaxis(b, -1, 0)
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quat_rotate(q: jax.Array, v: jax.Array) -> jax.Array:
+    """Rotate 3-vectors v by unit quaternions q ((w,x,y,z) convention)."""
+    w = q[..., :1]
+    u = q[..., 1:]
+    uv = jnp.cross(u, v)
+    return v + 2.0 * (w * uv + jnp.cross(u, uv))
+
+
+def quat_from_axis_angle(axis: jax.Array, angle: jax.Array) -> jax.Array:
+    """Unit quaternion (w,x,y,z) for rotation of `angle` radians about `axis`."""
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
+    half = angle[..., None] * 0.5
+    return jnp.concatenate([jnp.cos(half), jnp.sin(half) * axis], axis=-1)
+
+
+def random_quaternion(key: jax.Array, shape=()) -> jax.Array:
+    """Uniform random unit quaternions (Shoemake's subgroup algorithm)."""
+    u1, u2, u3 = jax.random.uniform(key, (3,) + tuple(shape))
+    a = jnp.sqrt(1.0 - u1)
+    b = jnp.sqrt(u1)
+    return jnp.stack(
+        [
+            a * jnp.sin(2 * jnp.pi * u2),
+            a * jnp.cos(2 * jnp.pi * u2),
+            b * jnp.sin(2 * jnp.pi * u3),
+            b * jnp.cos(2 * jnp.pi * u3),
+        ],
+        axis=-1,
+    )
+
+
+def quat_abs_dot(q1: jax.Array, q2: jax.Array) -> jax.Array:
+    """|<q1, q2>| -- antipodal-invariant alignment in [0, 1]."""
+    return jnp.abs(jnp.sum(q1 * q2, axis=-1))
+
+
+def quat_geodesic_angle(q1: jax.Array, q2: jax.Array) -> jax.Array:
+    """Geodesic rotation angle in radians: 2*arccos(|<q1,q2>|) in [0, pi].
+
+    Inputs must be unit quaternions. Clipped away from |dot|=1 so the
+    gradient stays finite (SURVEY.md section 8 hard-part 3).
+    """
+    d = jnp.clip(quat_abs_dot(q1, q2), 0.0, _ACOS_CLIP)
+    return 2.0 * jnp.arccos(d)
+
+
+def quat_chordal_distance(q1: jax.Array, q2: jax.Array) -> jax.Array:
+    """Smooth antipodal-safe surrogate 1 - <q1,q2>^2 in [0, 1].
+
+    Equals (1 - cos(theta)^2)/... precisely: 1 - dot^2 = sin^2(theta/2)* (1+cos...)
+    -- monotone in geodesic angle on [0, pi], gradient-friendly everywhere.
+    This is the training-loss form recommended in SURVEY.md section 8.
+    """
+    d = jnp.sum(q1 * q2, axis=-1)
+    return 1.0 - jnp.square(d)

@@ -1,0 +1,71 @@
+"""Checkpoint save / restore / resume (C9) via async orbax.
+
+The reference used synchronous `torch.save`/`torch.load` (`[RECALL]`
+SURVEY.md section 4.5); here saves are asynchronous so the TPU never stalls
+on checkpoint I/O (BASELINE.json:5). Saved payload (SURVEY.md section 6.4):
+{params, opt_state, batch_stats, step} plus the data-iterator state (JSON)
+so resume continues mid-epoch from the exact sample position.
+
+Restore accepts any mesh/chip count: all state is replicated under pure DP
+(SURVEY.md section 6.3 -- elastic restore by construction).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from rgb_proprioceptive_pose_estimator_tpu.engine.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3, async_save: bool = True):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                enable_async_checkpointing=async_save,
+            ),
+        )
+
+    def save(self, step: int, state: TrainState,
+             data_state: Optional[Dict[str, Any]] = None) -> None:
+        args = {"state": ocp.args.StandardSave(state)}
+        if data_state is not None:
+            args["data"] = ocp.args.JsonSave(data_state)
+        self._mngr.save(step, args=ocp.args.Composite(**args))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state_template: TrainState, step: Optional[int] = None
+                ) -> Tuple[TrainState, Optional[Dict[str, Any]], int]:
+        """Restore (state, data_state, step). `state_template` provides the
+        pytree structure/shardings (an initialized TrainState)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        restored = self._mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract),
+                data=ocp.args.JsonRestore(),
+            ),
+        )
+        data_state = restored.get("data") if hasattr(restored, "get") else None
+        return restored["state"], data_state, step
+
+    def wait(self) -> None:
+        """Block until in-flight async saves finish (end of training / tests)."""
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._mngr.close()

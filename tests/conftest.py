@@ -1,0 +1,32 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+The TPU-stack analogue of a fake distributed backend
+(SURVEY.md section 5.2): the *real* sharded train step runs on 8 fake CPU
+devices via --xla_force_host_platform_device_count. Must be set before jax
+initializes, hence the env mutation at conftest import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def demo_h5(tmp_path_factory):
+    """Tiny generated robosuite-layout HDF5 fixture (SURVEY.md section 5.2)."""
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    path = tmp_path_factory.mktemp("data") / "demo.hdf5"
+    return write_demo_fixture(
+        str(path), n_demos=3, steps=20,
+        cameras=("agentview", "robot0_eye_in_hand"),
+        image_hw=84, proprio_dim=16, seed=0)

@@ -1,0 +1,73 @@
+"""Checkpoint correctness (C9, SURVEY.md section 5.2): save -> restore ->
+continue must equal the uninterrupted run bitwise on CPU, including the
+data-iterator position; plus the mid-run kill fault-injection test
+(SURVEY.md section 6.3)."""
+
+import numpy as np
+import pytest
+
+import rgb_proprioceptive_pose_estimator_tpu as rppe
+
+
+def _base(tmp_path, name, steps, ckpt_every):
+    return rppe.preset("pr1").override(**{
+        "train.steps": steps,
+        "train.ckpt_every": ckpt_every,
+        "train.eval_every": 0,
+        "train.log_every": 1000,
+        "train.ckpt_dir": str(tmp_path / name),
+        "data.synthetic_size": 256,
+        "data.num_workers": 2,
+    })
+
+
+def _params_of(out):
+    import jax
+
+    return jax.device_get(out["state"].params)
+
+
+def test_resume_equals_uninterrupted_bitwise(tmp_path):
+    # uninterrupted: 40 steps
+    full = rppe.train(_base(tmp_path, "full", 40, 40))
+
+    # interrupted: 20 steps, then resume to 40 in the same dir
+    rppe.train(_base(tmp_path, "resumed", 20, 20))
+    resumed = rppe.train(_base(tmp_path, "resumed", 40, 40))
+
+    pa = _params_of(full)
+    pb = _params_of(resumed)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # optimizer state must also match bitwise
+    oa = jax.device_get(full["state"].opt_state)
+    ob = jax.device_get(resumed["state"].opt_state)
+    for a, b in zip(jax.tree.leaves(oa), jax.tree.leaves(ob)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fault_injection_mid_epoch_resume(tmp_path):
+    """Kill the loop mid-epoch (epoch = 8 batches at 256/32); resume must
+    restore the exact sample position, not restart the epoch."""
+    cfg = _base(tmp_path, "fault", 11, 11)  # 11 steps = 1 epoch + 3 batches
+    ref = rppe.train(cfg)
+
+    cfg2 = _base(tmp_path, "fault2", 5, 5)  # "crash" after 5 steps
+    rppe.train(cfg2)
+    cfg2_cont = _base(tmp_path, "fault2", 11, 11)
+    out = rppe.train(cfg2_cont)
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(_params_of(ref)),
+                    jax.tree.leaves(_params_of(out))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_rejects_missing_dir(tmp_path):
+    cfg = _base(tmp_path, "nope", 10, 10)
+    with pytest.raises(FileNotFoundError):
+        rppe.evaluate(cfg, ckpt_dir=str(tmp_path / "empty"))

@@ -1,0 +1,114 @@
+"""Fake-8-device distributed tests (SURVEY.md section 5.2): the real jitted
+train step on an 8-device CPU mesh must match single-device math exactly
+(global-batch BN + psum'd grads => bitwise-equivalent update), and batches
+must actually shard."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgb_proprioceptive_pose_estimator_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+    make_optimizer,
+    make_train_step,
+)
+from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+    build_model,
+    example_batch,
+)
+from rgb_proprioceptive_pose_estimator_tpu.parallel import mesh as pmesh
+
+
+def _cfg():
+    return Config(
+        model=ModelConfig(backbone="cnn_small", image_size=64,
+                          cameras=("agentview",), use_proprio=True,
+                          proprio_dim=8, image_features=64,
+                          head_hidden=(32,)),
+        data=DataConfig(batch_size=16),
+        train=TrainConfig(lr=1e-3, optimizer="adam"),
+    )
+
+
+def test_eight_devices_visible():
+    assert jax.device_count() >= 8, (
+        "conftest must force 8 CPU devices before jax init")
+
+
+def test_dp_step_matches_single_device():
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    step = make_train_step(model, tx, cfg.train)
+
+    batch = example_batch(cfg.model, batch_size=16, rng=7)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = pmesh.make_mesh(n_dev)
+        state = create_state(cfg, tx, seed=0)
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        db = pmesh.shard_batch(batch, pmesh.batch_sharding(mesh))
+        for _ in range(3):
+            state, metrics = step(state, db)
+        results[n_dev] = (jax.device_get(state.params),
+                          float(metrics["loss"]))
+
+    p1, l1 = results[1]
+    p8, l8 = results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_batch_is_sharded_on_data_axis():
+    mesh = pmesh.make_mesh(8)
+    bsh = pmesh.batch_sharding(mesh)
+    batch = example_batch(_cfg().model, batch_size=16)
+    db = pmesh.shard_batch(batch, bsh)
+    img = db["images"]["agentview"]
+    # 16 / 8 devices = 2 samples per shard
+    shard_shapes = {s.data.shape for s in img.addressable_shards}
+    assert shard_shapes == {(2, 64, 64, 3)}
+    assert len(img.addressable_shards) == 8
+
+
+def test_bn_stats_are_global_batch():
+    """BN batch statistics under DP must be the *global* batch statistics
+    (SURVEY.md section 8 hard-part 2): per-replica batches differ, but the
+    resulting running stats must equal the single-device ones."""
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    step = make_train_step(model, tx, cfg.train)
+    batch = example_batch(cfg.model, batch_size=16, rng=3)
+
+    # per-replica slices genuinely differ
+    img = batch["images"]["agentview"]
+    assert not np.array_equal(img[:2], img[2:4])
+
+    stats = {}
+    for n_dev in (1, 8):
+        mesh = pmesh.make_mesh(n_dev)
+        state = create_state(cfg, tx, seed=0)
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        db = pmesh.shard_batch(batch, pmesh.batch_sharding(mesh))
+        state, _ = step(state, db)
+        stats[n_dev] = jax.device_get(state.batch_stats)
+
+    for a, b in zip(jax.tree.leaves(stats[1]), jax.tree.leaves(stats[8])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_multichip_dryrun_entrypoint():
+    """The driver-facing dryrun compiles + executes the full sharded train
+    step on an N-device mesh (graft contract)."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,112 @@
+"""Model shape/dtype tests across every backbone and fusion variant
+(C3-C5, C10, C11, C13)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgb_proprioceptive_pose_estimator_tpu.config import ModelConfig
+from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+    build_model,
+    example_batch,
+)
+
+
+def _init_apply(cfg: ModelConfig, batch_size=2, train=False):
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=batch_size)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    if train:
+        (pos, quat), mut = model.apply(variables, batch, train=True,
+                                       mutable=["batch_stats"])
+    else:
+        pos, quat = model.apply(variables, batch, train=False)
+    return pos, quat, variables
+
+
+@pytest.mark.parametrize("backbone,size", [
+    ("cnn_small", 64), ("resnet18", 64), ("resnet50", 64)])
+def test_backbones_output_pose(backbone, size):
+    cfg = ModelConfig(backbone=backbone, image_size=size, use_proprio=True,
+                      proprio_dim=8, image_features=64,
+                      head_hidden=(32,))
+    pos, quat, _ = _init_apply(cfg)
+    assert pos.shape == (2, 3) and quat.shape == (2, 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(quat), axis=-1), 1.0, atol=1e-5)
+
+
+def test_proprio_only():
+    cfg = ModelConfig(backbone="none", cameras=(), use_proprio=True,
+                      proprio_dim=16, head_hidden=(32,))
+    pos, quat, _ = _init_apply(cfg)
+    assert pos.shape == (2, 3) and quat.shape == (2, 4)
+
+
+def test_rgb_only():
+    cfg = ModelConfig(backbone="cnn_small", image_size=64, use_proprio=False,
+                      image_features=64, head_hidden=(32,))
+    pos, quat, _ = _init_apply(cfg)
+    assert pos.shape == (2, 3)
+
+
+def test_dual_camera_two_encoders():
+    """C10: one encoder per camera, separate parameters."""
+    cfg = ModelConfig(backbone="cnn_small", image_size=64,
+                      cameras=("agentview", "robot0_eye_in_hand"),
+                      use_proprio=True, proprio_dim=8, image_features=64,
+                      head_hidden=(32,))
+    pos, quat, variables = _init_apply(cfg)
+    assert pos.shape == (2, 3)
+    params = variables["params"]
+    assert "encoder_agentview" in params
+    assert "encoder_robot0_eye_in_hand" in params
+
+
+def test_temporal_stacking():
+    """C11: T frames stacked along channels; proprio flattens T*D."""
+    cfg = ModelConfig(backbone="cnn_small", image_size=64, temporal_frames=3,
+                      use_proprio=True, proprio_dim=8, image_features=64,
+                      head_hidden=(32,))
+    pos, quat, _ = _init_apply(cfg)
+    assert pos.shape == (2, 3) and quat.shape == (2, 4)
+
+
+def test_bf16_policy_params_stay_f32():
+    """C13: bf16 compute, f32 params, finite f32 outputs."""
+    cfg = ModelConfig(backbone="cnn_small", image_size=64, dtype="bfloat16",
+                      use_proprio=True, proprio_dim=8, image_features=64,
+                      head_hidden=(32,))
+    pos, quat, variables = _init_apply(cfg, train=True)
+    leaves = jax.tree.leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert pos.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(pos)))
+
+
+def test_train_mode_updates_batch_stats():
+    cfg = ModelConfig(backbone="cnn_small", image_size=64, use_proprio=False,
+                      image_features=64, head_hidden=(32,))
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=4)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    _, mut = model.apply(variables, batch, train=True,
+                         mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mut["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(b), np.asarray(a))
+        for b, a in zip(before, after))
+    assert changed, "BN running stats must update in train mode"
+
+
+def test_eval_mode_is_deterministic_and_frozen():
+    cfg = ModelConfig(backbone="cnn_small", image_size=64, use_proprio=False,
+                      image_features=64, head_hidden=(32,))
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=4)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    p1, q1 = model.apply(variables, batch, train=False)
+    p2, q2 = model.apply(variables, batch, train=False)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))

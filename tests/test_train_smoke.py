@@ -1,0 +1,101 @@
+"""End-to-end learning smoke tests (SURVEY.md section 5.2 integration):
+config-1 (synthetic proprio) must actually learn on CPU; the image path
+must learn pose from the fixture's informative images; the public
+train/eval/predict API round-trips (C7, C8)."""
+
+import numpy as np
+import pytest
+
+import rgb_proprioceptive_pose_estimator_tpu as rppe
+from rgb_proprioceptive_pose_estimator_tpu.models.fusion import example_batch
+
+
+def test_pr1_synthetic_learns(tmp_path):
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 200,
+        "train.log_every": 50,
+        "train.eval_every": 200,
+        "train.eval_steps": 4,
+        "train.ckpt_every": 200,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "data.synthetic_size": 512,
+    })
+    out = rppe.train(cfg)
+    m = out["metrics"]
+    # untrained loss is ~1.0 (pos var ~0.3 + chordal ~0.7); must drop well below
+    assert m["loss"] < 0.15, m
+    assert m["eval_loss"] < 0.15, m
+
+
+def test_image_path_learns_from_fixture(tmp_path, demo_h5):
+    """4-layer CNN regresses position from the fixture's drawn marker
+    (config-2 style, BASELINE.json:8)."""
+    cfg = rppe.preset("pr2").override(**{
+        "model.image_size": 64,
+        "model.image_features": 64,
+        "model.head_hidden": [64],
+        "data.path": demo_h5,
+        "data.batch_size": 16,
+        "data.num_workers": 2,
+        "data.hflip_prob": 0.0,      # flips break image->pose geometry
+        "data.jitter_prob": 0.0,
+        "train.steps": 150,
+        "train.lr": 3e-3,
+        "train.log_every": 50,
+        "train.eval_every": 150,
+        "train.eval_steps": 3,
+        "train.ckpt_every": 150,
+        "train.ckpt_dir": str(tmp_path / "ckpt2"),
+    })
+    out = rppe.train(cfg)
+    # position is visually encoded; 60 samples, 150 steps -> pos loss must fall
+    assert out["metrics"]["pos_loss"] < 0.02, out["metrics"]
+
+
+def test_evaluate_and_predict_api(tmp_path):
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 120,
+        "train.eval_every": 0,
+        "train.ckpt_every": 120,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "data.synthetic_size": 256,
+    })
+    rppe.train(cfg)
+
+    # evaluate() restores the checkpoint and reports cm/deg MAE
+    m = rppe.evaluate(cfg, max_batches=4)
+    assert "pos_mae_cm" in m and "rot_mae_deg" in m
+    assert m["step"] == 120
+
+    # predict(): unbatched obs -> unbatched pose
+    obs = {"proprio": np.random.RandomState(0).randn(
+        cfg.model.proprio_dim).astype(np.float32)}
+    pos, quat = rppe.predict(cfg, obs)
+    assert pos.shape == (3,) and quat.shape == (4,)
+    np.testing.assert_allclose(np.linalg.norm(quat), 1.0, atol=1e-5)
+
+    # Predictor: batched obs, no recompile across calls, padding exercised
+    pred = rppe.Predictor(cfg, max_batch=8)
+    batch_obs = {"proprio": np.random.RandomState(1).randn(
+        3, cfg.model.proprio_dim).astype(np.float32)}
+    pos_b, quat_b = pred(batch_obs)
+    assert pos_b.shape == (3, 3) and quat_b.shape == (3, 4)
+    # single row of the batch == unbatched call on that row (consistency)
+    p0, q0 = pred({"proprio": batch_obs["proprio"][0]})
+    np.testing.assert_allclose(p0, pos_b[0], atol=1e-5)
+
+
+def test_resume_auto_continues(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    base = rppe.preset("pr1").override(**{
+        "train.steps": 50,
+        "train.ckpt_every": 50,
+        "train.eval_every": 0,
+        "train.ckpt_dir": ckpt_dir,
+        "data.synthetic_size": 256,
+    })
+    rppe.train(base)
+    # continue to 80 from the step-50 checkpoint
+    cont = base.override(**{"train.steps": 80, "train.ckpt_every": 80})
+    out = rppe.train(cont)
+    assert int(out["state"].step) == 80
