@@ -1,21 +1,23 @@
 """Host-side uint8 image augmentations (C2, BASELINE.json:5,10).
 
 decode -> resize -> random-resized-crop -> hflip -> color-jitter, all in
-uint8/float32 numpy+opencv ON HOST; per-channel normalization is deferred
-to the device where it fuses into the first conv
-(SURVEY.md section 4.4 "normalize deferred to device").
-
-Eval path is deterministic: resize + center crop only
+uint8/float32 ON HOST; per-channel normalization is deferred to the device
+where it fuses into the first conv (SURVEY.md section 4.4 "normalize
+deferred to device"). Eval path is deterministic: center crop + resize
 (SURVEY.md section 4.2).
 
-When the native C++ shim (runtime/) is built, `data/pipeline.py` routes
-crop+flip+jitter through it; these numpy versions are the reference
-implementation and the fallback, and both are covered by the same tests.
+Two pixel backends share ONE parameter sampler (`sample_aug_params`, numpy
+RNG), so augmentation *randomness* is backend-independent:
+
+  * numpy/opencv (this file) -- reference implementation and fallback;
+  * the native C++ engine (runtime/csrc/augment.cc via ctypes) -- the
+    throughput path for the 160k images/sec host budget (SURVEY.md
+    section 8 hard-part 1).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
@@ -26,6 +28,57 @@ try:
     _HAS_CV2 = True
 except Exception:  # pragma: no cover
     _HAS_CV2 = False
+
+
+class AugParams(NamedTuple):
+    """Resolved per-sample augmentation: square crop window + flip + jitter
+    factors (<= 0 disables that jitter component)."""
+
+    y0: int
+    x0: int
+    size: int
+    flip: bool
+    brightness: float
+    contrast: float
+    saturation: float
+
+
+def sample_aug_params(
+    h: int,
+    w: int,
+    rng: np.random.RandomState,
+    crop_scale: Tuple[float, float] = (0.8, 1.0),
+    hflip_prob: float = 0.5,
+    jitter_brightness: float = 0.2,
+    jitter_contrast: float = 0.2,
+    jitter_saturation: float = 0.2,
+    jitter_prob: float = 0.8,
+) -> AugParams:
+    """Draw augmentation parameters (the ONLY source of randomness)."""
+    area = h * w
+    target = rng.uniform(crop_scale[0], crop_scale[1]) * area
+    s = int(round(np.sqrt(target)))
+    s = max(1, min(s, h, w))
+    y0 = rng.randint(0, h - s + 1)
+    x0 = rng.randint(0, w - s + 1)
+    flip = hflip_prob > 0 and rng.uniform() < hflip_prob
+    fb = fc = fs = 0.0
+    if jitter_prob > 0 and rng.uniform() < jitter_prob:
+        if jitter_brightness > 0:
+            fb = rng.uniform(max(0.0, 1 - jitter_brightness),
+                             1 + jitter_brightness)
+        if jitter_contrast > 0:
+            fc = rng.uniform(max(0.0, 1 - jitter_contrast),
+                             1 + jitter_contrast)
+        if jitter_saturation > 0:
+            fs = rng.uniform(max(0.0, 1 - jitter_saturation),
+                             1 + jitter_saturation)
+    return AugParams(y0, x0, s, flip, fb, fc, fs)
+
+
+# ---------------------------------------------------------------------------
+# numpy/opencv pixel backend
+# ---------------------------------------------------------------------------
 
 
 def resize(img: np.ndarray, out_hw: int) -> np.ndarray:
@@ -48,57 +101,39 @@ def center_crop_resize(img: np.ndarray, out_hw: int) -> np.ndarray:
     return resize(img[y0:y0 + s, x0:x0 + s], out_hw)
 
 
-def random_resized_crop(img: np.ndarray, out_hw: int,
-                        scale: Tuple[float, float],
-                        rng: np.random.RandomState) -> np.ndarray:
-    """torchvision-style RandomResizedCrop restricted to square aspect."""
-    h, w = img.shape[:2]
-    area = h * w
-    target = rng.uniform(scale[0], scale[1]) * area
-    s = int(round(np.sqrt(target)))
-    s = max(1, min(s, h, w))
-    y0 = rng.randint(0, h - s + 1)
-    x0 = rng.randint(0, w - s + 1)
-    return resize(img[y0:y0 + s, x0:x0 + s], out_hw)
-
-
 def hflip(img: np.ndarray) -> np.ndarray:
     return img[:, ::-1]
 
 
-def color_jitter(img: np.ndarray, brightness: float, contrast: float,
-                 saturation: float, rng: np.random.RandomState) -> np.ndarray:
-    """Random brightness/contrast/saturation in float32, clipped to uint8.
-    Factors ~ U[1-x, 1+x], torchvision convention."""
+def jitter_with_factors(img: np.ndarray, fb: float, fc: float,
+                        fs: float) -> np.ndarray:
+    """Apply brightness/contrast/saturation with explicit factors
+    (<= 0 skips). torchvision order/conventions."""
     x = img.astype(np.float32)
-    if brightness > 0:
-        x *= rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
-    if contrast > 0:
-        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
-        x = x.mean(dtype=np.float32) + (x - x.mean(dtype=np.float32)) * f
-    if saturation > 0:
-        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+    if fb > 0:
+        x *= fb
+    if fc > 0:
+        m = x.mean(dtype=np.float32)
+        x = m + (x - m) * fc
+    if fs > 0:
         gray = x @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
-        x = gray[..., None] + (x - gray[..., None]) * f
+        x = gray[..., None] + (x - gray[..., None]) * fs
     return np.clip(x, 0, 255).astype(np.uint8)
 
 
-def augment_image(
-    img: np.ndarray,
-    out_hw: int,
-    rng: np.random.RandomState,
-    crop_scale: Tuple[float, float] = (0.8, 1.0),
-    hflip_prob: float = 0.5,
-    jitter_brightness: float = 0.2,
-    jitter_contrast: float = 0.2,
-    jitter_saturation: float = 0.2,
-    jitter_prob: float = 0.8,
-) -> np.ndarray:
-    """Full train-time augmentation of one uint8 HWC image."""
-    img = random_resized_crop(img, out_hw, crop_scale, rng)
-    if hflip_prob > 0 and rng.uniform() < hflip_prob:
+def apply_aug_params(img: np.ndarray, p: AugParams,
+                     out_hw: int) -> np.ndarray:
+    """Apply resolved params to one uint8 HWC image (numpy backend)."""
+    img = resize(img[p.y0:p.y0 + p.size, p.x0:p.x0 + p.size], out_hw)
+    if p.flip:
         img = hflip(img)
-    if jitter_prob > 0 and rng.uniform() < jitter_prob:
-        img = color_jitter(img, jitter_brightness, jitter_contrast,
-                           jitter_saturation, rng)
+    if p.brightness > 0 or p.contrast > 0 or p.saturation > 0:
+        img = jitter_with_factors(img, p.brightness, p.contrast, p.saturation)
     return np.ascontiguousarray(img)
+
+
+def augment_image(img: np.ndarray, out_hw: int,
+                  rng: np.random.RandomState, **kwargs) -> np.ndarray:
+    """Sample + apply in one call (convenience / tests)."""
+    p = sample_aug_params(img.shape[0], img.shape[1], rng, **kwargs)
+    return apply_aug_params(img, p, out_hw)

@@ -44,6 +44,7 @@ class HDF5DemoStore:
         proprio_key: str = "obs/robot0_proprio-state",
         target_key: str = "obs/object",
         use_proprio: bool = True,
+        use_native: bool = True,               # C++ augment engine if built
         cache_images: Optional[bool] = None,   # None = auto (< 4 GiB)
         crop_scale: Tuple[float, float] = (0.8, 1.0),
         hflip_prob: float = 0.5,
@@ -60,6 +61,7 @@ class HDF5DemoStore:
         self.proprio_key = proprio_key
         self.target_key = target_key
         self.use_proprio = use_proprio
+        self.use_native = use_native
         self._aug_kwargs = dict(
             crop_scale=crop_scale, hflip_prob=hflip_prob,
             jitter_brightness=jitter_brightness,
@@ -141,54 +143,91 @@ class HDF5DemoStore:
         n = len(indices)
         batch: Dict = {}
 
+        demo_t = [self._index[flat] for flat in indices]
+        ts_list = [np.clip(np.arange(t - tf + 1, t + 1), 0, None)
+                   for (_, t) in demo_t]
+
         if self.cameras:
-            images = {
-                cam: np.empty(
-                    (n, hw, hw, 3) if tf == 1 else (n, tf, hw, hw, 3),
-                    dtype=np.uint8)
-                for cam in self.cameras
+            batch["images"] = {
+                cam: self._camera_batch(cam, ci, indices, demo_t, ts_list,
+                                        augment, seed)
+                for ci, cam in enumerate(self.cameras)
             }
-        else:
-            images = None
-        proprio = None
+
         if self.use_proprio:
             pshape = (n, self.proprio_dim) if tf == 1 else (
                 n, tf, self.proprio_dim)
             proprio = np.empty(pshape, dtype=np.float32)
-        tpos = np.empty((n, 3), dtype=np.float32)
-        tquat = np.empty((n, 4), dtype=np.float32)
-
-        for bi, flat in enumerate(indices):
-            demo, t = self._index[flat]
-            ts = np.clip(np.arange(t - tf + 1, t + 1), 0, None)
-            sample_seed = (seed * 1_000_003 + int(flat)) % (2 ** 31 - 1)
-            for cam in (self.cameras or ()):
-                frames = self._read_frames(demo, cam, ts)
-                out = []
-                for fr in frames:
-                    if augment:
-                        # identical RNG per frame -> temporally-consistent
-                        # crop/flip/jitter across the stack
-                        rs = np.random.RandomState(sample_seed)
-                        out.append(aug.augment_image(fr, hw, rs,
-                                                     **self._aug_kwargs))
-                    else:
-                        out.append(aug.center_crop_resize(fr, hw))
-                stack = np.stack(out) if tf > 1 else out[0]
-                images[cam][bi] = stack
-            if proprio is not None:
+            for bi, ((demo, _), ts) in enumerate(zip(demo_t, ts_list)):
                 p = self._proprio[demo][ts]
                 proprio[bi] = p if tf > 1 else p[0]
+            batch["proprio"] = proprio
+
+        tpos = np.empty((n, 3), dtype=np.float32)
+        tquat = np.empty((n, 4), dtype=np.float32)
+        for bi, (demo, t) in enumerate(demo_t):
             tpos[bi] = self._pos[demo][t]
             tquat[bi] = self._quat[demo][t]
-
-        if images is not None:
-            batch["images"] = images
-        if proprio is not None:
-            batch["proprio"] = proprio
         batch["target_pos"] = tpos
         batch["target_quat"] = tquat
         return batch
+
+    def _camera_batch(self, cam: str, cam_idx: int, indices, demo_t, ts_list,
+                      augment: bool, seed: int) -> np.ndarray:
+        """(n, [tf,] hw, hw, 3) uint8 augmented/eval-transformed frames.
+
+        One parameter draw per (sample, camera): all frames of a temporal
+        stack share crop/flip/jitter (temporal consistency); cameras get
+        independent draws. Pixel work runs on the native C++ engine when
+        built, else the numpy backend -- identical parameters either way."""
+        tf, hw, n = self.temporal_frames, self.image_size, len(indices)
+        raws = [self._read_frames(demo, cam, ts)
+                for (demo, _), ts in zip(demo_t, ts_list)]
+
+        params = None
+        if augment:
+            params = []
+            for bi, flat in enumerate(indices):
+                sseed = (seed * 1_000_003 + int(flat) * 31
+                         + cam_idx * 7_777) % (2 ** 31 - 1)
+                rs = np.random.RandomState(sseed)
+                h, w = raws[bi].shape[1:3]
+                params.append(aug.sample_aug_params(h, w, rs,
+                                                    **self._aug_kwargs))
+
+        native = None
+        if self.use_native:
+            from rgb_proprioceptive_pose_estimator_tpu.runtime import (
+                native as native_mod,
+            )
+
+            if native_mod.available():
+                native = native_mod
+
+        if native is not None:
+            frames = np.concatenate(raws, axis=0)  # (n*tf, sh, sw, 3)
+            if augment:
+                crops = np.repeat(np.asarray(
+                    [[p.y0, p.x0, p.size] for p in params], np.int32),
+                    tf, axis=0)
+                flips = np.repeat(np.asarray(
+                    [p.flip for p in params], np.uint8), tf)
+                jit = np.repeat(np.asarray(
+                    [[p.brightness, p.contrast, p.saturation]
+                     for p in params], np.float32), tf, axis=0)
+                out = native.augment_batch(frames, hw, crops, flips, jit)
+            else:
+                out = native.center_crop_resize_batch(frames, hw)
+            out = out.reshape(n, tf, hw, hw, 3)
+        else:
+            out = np.empty((n, tf, hw, hw, 3), dtype=np.uint8)
+            for bi in range(n):
+                for fi, fr in enumerate(raws[bi]):
+                    if augment:
+                        out[bi, fi] = aug.apply_aug_params(fr, params[bi], hw)
+                    else:
+                        out[bi, fi] = aug.center_crop_resize(fr, hw)
+        return out[:, 0] if tf == 1 else out
 
 
 # ---------------------------------------------------------------------------

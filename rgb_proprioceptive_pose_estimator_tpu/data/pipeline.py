@@ -57,6 +57,7 @@ def build_dataset(cfg: Config):
             proprio_key=d.proprio_key,
             target_key=d.target_key,
             use_proprio=m.use_proprio,
+            use_native=d.use_native,
             crop_scale=d.crop_scale,
             hflip_prob=d.hflip_prob,
             jitter_brightness=d.jitter_brightness,

@@ -41,7 +41,8 @@ def _interpret() -> bool:
 
 
 def _normalize_kernel(x_ref, scale_ref, shift_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)
+    # mosaic has no unsigned->float cast; route uint8 through int32
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
     o_ref[:] = (x * scale_ref[:] + shift_ref[:]).astype(o_ref.dtype)
 
 

@@ -1,0 +1,290 @@
+// Native host-pipeline augmentation engine.
+//
+// The reference's host-side image work lived in dependency-native code
+// (torchvision/PIL/cuDNN -- SURVEY.md section 3.1); this is the TPU-build's
+// equivalent: a C++ engine for the throughput-critical decode/augment stage
+// (SURVEY.md section 8 hard-part 1: ~160k images/sec across a v5e-8 host).
+//
+// Division of labor: Python samples per-image augmentation parameters with
+// numpy RNG (determinism semantics identical to the numpy fallback);
+// C++ does the pixel work -- crop window, bilinear resize, horizontal flip,
+// brightness/contrast/saturation jitter -- parallelized over a persistent
+// std::thread pool. uint8 in, uint8 out; per-channel normalization stays on
+// device (BASELINE.json:5).
+//
+// Exposed via a C ABI for ctypes (no pybind11 in the image).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <memory>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Persistent thread pool (created once; sized by the first caller).
+// ---------------------------------------------------------------------------
+
+// Work-sharing job. Heap-allocated and held via shared_ptr by every thread
+// that touches it, so a straggler worker waking after the submitting call
+// returned still dereferences live memory (a by-reference capture here is a
+// use-after-return race).
+struct Job {
+  explicit Job(int64_t n_, std::function<void(int64_t)> fn_)
+      : n(n_), fn(std::move(fn_)) {}
+  const int64_t n;
+  const std::function<void(int64_t)> fn;
+  std::atomic<int64_t> next{0};
+  std::atomic<int64_t> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+
+  void Run() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      fn(i);
+      if (done.fetch_add(1) + 1 == n) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.notify_all();
+      }
+    }
+  }
+};
+
+class Pool {
+ public:
+  explicit Pool(int n_threads) {
+    n_threads = std::max(1, n_threads);
+    for (int i = 0; i < n_threads; ++i) {
+      workers_.emplace_back([this] { WorkerLoop(); });
+    }
+  }
+
+  ~Pool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  int size() const { return static_cast<int>(workers_.size()); }
+
+  // Blocks until fn(i) has run for all i in [0, n).
+  void ParallelFor(int64_t n, std::function<void(int64_t)> fn) {
+    if (n <= 0) return;
+    auto job = std::make_shared<Job>(n, std::move(fn));
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      job_ = job;
+      epoch_++;
+    }
+    cv_.notify_all();
+    job->Run();  // caller participates
+    {
+      std::unique_lock<std::mutex> lk(job->mu);
+      job->cv.wait(lk, [&] { return job->done.load() >= n; });
+    }
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      if (job_ == job) job_ = nullptr;
+    }
+  }
+
+ private:
+  void WorkerLoop() {
+    uint64_t seen = 0;
+    for (;;) {
+      std::shared_ptr<Job> job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [&] { return stop_ || (job_ && epoch_ != seen); });
+        if (stop_) return;
+        seen = epoch_;
+        job = job_;  // shared_ptr copy keeps the job alive past completion
+      }
+      if (job) job->Run();
+    }
+  }
+
+  std::vector<std::thread> workers_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::shared_ptr<Job> job_;
+  uint64_t epoch_ = 0;
+  bool stop_ = false;
+};
+
+Pool* g_pool = nullptr;
+std::mutex g_pool_mu;
+
+Pool& GetPool(int n_threads) {
+  std::unique_lock<std::mutex> lk(g_pool_mu);
+  if (g_pool == nullptr) {
+    g_pool = new Pool(n_threads > 0 ? n_threads
+                                    : (int)std::thread::hardware_concurrency());
+  }
+  return *g_pool;
+}
+
+// ---------------------------------------------------------------------------
+// Pixel kernels (uint8 HWC, C channels).
+// ---------------------------------------------------------------------------
+
+// numpy's `np.clip(x, 0, 255).astype(uint8)` truncates -- match it for
+// jittered pixels; resize output rounds (cv2.INTER_LINEAR convention).
+inline uint8_t TruncClamp8(float v) {
+  return (uint8_t)std::min(255.0f, std::max(0.0f, v));
+}
+inline uint8_t RoundClamp8(float v) {
+  return (uint8_t)std::min(255.0f, std::max(0.0f, v + 0.5f));
+}
+
+// Bilinear resize of the crop window [y0, y0+s) x [x0, x0+s) of src
+// (sh x sw x c) into dst (oh x ow x c), with optional horizontal flip and
+// color jitter. Half-pixel-center mapping (cv2.INTER_LINEAR convention).
+void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
+                   uint8_t* dst, int oh, int ow,
+                   int y0, int x0, int s, bool flip,
+                   float fb, float fc, float fs) {
+  const float scale_y = (float)s / oh;
+  const float scale_x = (float)s / ow;
+  const bool jitter = fb > 0.0f || fc > 0.0f || fs > 0.0f;
+
+  // Jitter contrast is relative to the mean of the resized crop (numpy
+  // backend convention), so the jitter path stages the resized image first
+  // and applies the color transform in a second pass.
+  std::vector<float> stage;
+  float mean = 0.0f;
+
+  auto sample = [&](int oy, int ox, int ch) -> float {
+    float fy = (oy + 0.5f) * scale_y - 0.5f;
+    float fx = (ox + 0.5f) * scale_x - 0.5f;
+    int iy = (int)std::floor(fy);
+    int ix = (int)std::floor(fx);
+    float wy = fy - iy;
+    float wx = fx - ix;
+    int y1 = std::min(std::max(iy, 0), s - 1);
+    int y2 = std::min(iy + 1, s - 1);
+    int x1 = std::min(std::max(ix, 0), s - 1);
+    int x2 = std::min(ix + 1, s - 1);
+    const uint8_t* p11 = src + ((int64_t)(y0 + y1) * sw + (x0 + x1)) * c + ch;
+    const uint8_t* p12 = src + ((int64_t)(y0 + y1) * sw + (x0 + x2)) * c + ch;
+    const uint8_t* p21 = src + ((int64_t)(y0 + y2) * sw + (x0 + x1)) * c + ch;
+    const uint8_t* p22 = src + ((int64_t)(y0 + y2) * sw + (x0 + x2)) * c + ch;
+    float top = *p11 + wx * (*p12 - *p11);
+    float bot = *p21 + wx * (*p22 - *p21);
+    return top + wy * (bot - top);
+  };
+
+  if (jitter) {
+    // stage holds the rounded (uint8-equivalent) resized crop, matching the
+    // numpy backend which jitters the cv2-resized uint8 image
+    stage.resize((size_t)oh * ow * c);
+    double acc = 0.0;
+    for (int oy = 0; oy < oh; ++oy) {
+      for (int ox = 0; ox < ow; ++ox) {
+        int sx = flip ? (ow - 1 - ox) : ox;
+        for (int ch = 0; ch < c; ++ch) {
+          float v = (float)RoundClamp8(sample(oy, sx, ch));
+          stage[((size_t)oy * ow + ox) * c + ch] = v;
+          acc += v;
+        }
+      }
+    }
+    mean = (float)(acc / ((double)oh * ow * c));
+
+    const float rb = fb > 0 ? fb : 1.0f;
+    const float rc = fc > 0 ? fc : 1.0f;
+    const float rs = fs > 0 ? fs : 1.0f;
+    for (int oy = 0; oy < oh; ++oy) {
+      for (int ox = 0; ox < ow; ++ox) {
+        float* px = &stage[((size_t)oy * ow + ox) * c];
+        // brightness
+        float v0 = px[0] * rb, v1 = px[1] * rb, v2 = px[2] * rb;
+        // contrast about the (brightness-scaled) mean
+        float m = mean * rb;
+        v0 = m + (v0 - m) * rc;
+        v1 = m + (v1 - m) * rc;
+        v2 = m + (v2 - m) * rc;
+        // saturation about per-pixel luma
+        float gray = 0.299f * v0 + 0.587f * v1 + 0.114f * v2;
+        v0 = gray + (v0 - gray) * rs;
+        v1 = gray + (v1 - gray) * rs;
+        v2 = gray + (v2 - gray) * rs;
+        uint8_t* d = dst + ((size_t)oy * ow + ox) * c;
+        d[0] = TruncClamp8(v0);
+        d[1] = TruncClamp8(v1);
+        d[2] = TruncClamp8(v2);
+      }
+    }
+  } else {
+    for (int oy = 0; oy < oh; ++oy) {
+      for (int ox = 0; ox < ow; ++ox) {
+        int sx = flip ? (ow - 1 - ox) : ox;
+        uint8_t* d = dst + ((size_t)oy * ow + ox) * c;
+        for (int ch = 0; ch < c; ++ch) {
+          d[ch] = RoundClamp8(sample(oy, sx, ch));
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+#define RPPE_EXPORT __attribute__((visibility("default")))
+
+// Returns the thread-pool size actually in use.
+RPPE_EXPORT int rppe_init(int n_threads) { return GetPool(n_threads).size(); }
+
+// Augment a batch of n images.
+//   src:    n * sh * sw * c uint8, contiguous
+//   dst:    n * oh * ow * c uint8, contiguous (preallocated)
+//   crops:  n * 3 int32   -- y0, x0, size (square window)
+//   flips:  n uint8       -- 0/1 horizontal flip
+//   jitter: n * 3 float32 -- brightness/contrast/saturation factors
+//                            (<= 0 means "skip this jitter component")
+RPPE_EXPORT void rppe_augment_batch(const uint8_t* src, int64_t n, int sh, int sw, int c,
+                        uint8_t* dst, int oh, int ow,
+                        const int32_t* crops, const uint8_t* flips,
+                        const float* jitter, int n_threads) {
+  Pool& pool = GetPool(n_threads);
+  const int64_t in_stride = (int64_t)sh * sw * c;
+  const int64_t out_stride = (int64_t)oh * ow * c;
+  pool.ParallelFor(n, [&](int64_t i) {
+    CropResizeOne(src + i * in_stride, sh, sw, c, dst + i * out_stride, oh, ow,
+                  crops[i * 3 + 0], crops[i * 3 + 1], crops[i * 3 + 2],
+                  flips[i] != 0, jitter[i * 3 + 0], jitter[i * 3 + 1],
+                  jitter[i * 3 + 2]);
+  });
+}
+
+// Deterministic eval transform: center square crop + bilinear resize.
+RPPE_EXPORT void rppe_center_crop_resize_batch(const uint8_t* src, int64_t n, int sh,
+                                   int sw, int c, uint8_t* dst, int oh, int ow,
+                                   int n_threads) {
+  Pool& pool = GetPool(n_threads);
+  const int s = std::min(sh, sw);
+  const int y0 = (sh - s) / 2;
+  const int x0 = (sw - s) / 2;
+  const int64_t in_stride = (int64_t)sh * sw * c;
+  const int64_t out_stride = (int64_t)oh * ow * c;
+  pool.ParallelFor(n, [&](int64_t i) {
+    CropResizeOne(src + i * in_stride, sh, sw, c, dst + i * out_stride, oh, ow,
+                  y0, x0, s, false, 0.0f, 0.0f, 0.0f);
+  });
+}
+
+}  // extern "C"

@@ -43,12 +43,14 @@ def _copy_conv(tconv: tnn.Conv2d):
 
 
 def _copy_bn(tbn: tnn.BatchNorm2d):
+    # .copy(): torch mutates running stats in place on the next train-mode
+    # forward, and .numpy() returns views
     return {
-        "scale": tbn.weight.detach().numpy(),
-        "bias": tbn.bias.detach().numpy(),
+        "scale": tbn.weight.detach().numpy().copy(),
+        "bias": tbn.bias.detach().numpy().copy(),
     }, {
-        "mean": tbn.running_mean.detach().numpy(),
-        "var": tbn.running_var.detach().numpy(),
+        "mean": tbn.running_mean.detach().numpy().copy(),
+        "var": tbn.running_var.detach().numpy().copy(),
     }
 
 
@@ -126,15 +128,58 @@ def test_conv_bn_relu_block_matches_torch():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_resnet_basic_block_matches_torchvision():
-    tv = pytest.importorskip("torchvision")
-    from torchvision.models.resnet import BasicBlock as TvBasic
+class _TorchBasicBlock(tnn.Module):
+    """Hand-built twin of torchvision BasicBlock (torchvision is not in the
+    image): conv3x3-BN-ReLU-conv3x3-BN + identity -> ReLU."""
 
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return torch.relu(y + x)
+
+
+class _TorchBottleneck(tnn.Module):
+    """Twin of torchvision Bottleneck: 1x1 -> 3x3 -> 1x1(x4) + identity."""
+
+    def __init__(self, inplanes, planes):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+
+    def forward(self, x):
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return torch.relu(y + x)
+
+
+def _randomize_bn(bn):
+    with torch.no_grad():
+        bn.weight.copy_(torch.rand_like(bn.weight) + 0.5)
+        bn.bias.copy_(torch.randn_like(bn.bias) * 0.1)
+        bn.running_mean.copy_(torch.randn_like(bn.running_mean) * 0.1)
+        bn.running_var.copy_(torch.rand_like(bn.running_var) + 0.5)
+
+
+def test_resnet_basic_block_matches_torch():
     cin = cout = 16
     rs = np.random.RandomState(2)
     x = rs.randn(2, 8, 8, cin).astype(np.float32)
 
-    tb = TvBasic(cin, cout)
+    tb = _TorchBasicBlock(cin, cout)
+    _randomize_bn(tb.bn1)
+    _randomize_bn(tb.bn2)
     tb.eval()
     ty = tb(_nchw(x))
 
@@ -156,15 +201,14 @@ def test_resnet_basic_block_matches_torchvision():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_resnet_bottleneck_matches_torchvision():
-    tv = pytest.importorskip("torchvision")
-    from torchvision.models.resnet import Bottleneck as TvBottleneck
-
+def test_resnet_bottleneck_matches_torch():
     rs = np.random.RandomState(3)
     inplanes, planes = 64, 16
     x = rs.randn(2, 8, 8, inplanes).astype(np.float32)
 
-    tb = TvBottleneck(inplanes, planes)  # out = planes*4 = 64 = inplanes
+    tb = _TorchBottleneck(inplanes, planes)  # out = planes*4 = 64 = inplanes
+    for bn in (tb.bn1, tb.bn2, tb.bn3):
+        _randomize_bn(bn)
     tb.eval()
     ty = tb(_nchw(x))
 

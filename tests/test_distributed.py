@@ -38,7 +38,12 @@ def test_eight_devices_visible():
 
 
 def test_dp_step_matches_single_device():
+    # SGD: the update is linear in the gradient, so 1-vs-8-deviceparity is
+    # well-conditioned (Adam's 1/sqrt(v) amplifies f32 psum reassociation
+    # noise by orders of magnitude on early steps).
     cfg = _cfg()
+    cfg = Config(model=cfg.model, data=cfg.data,
+                 train=TrainConfig(lr=1e-2, optimizer="sgd"))
     model = build_model(cfg.model)
     tx = make_optimizer(cfg.train)
     step = make_train_step(model, tx, cfg.train)
@@ -59,6 +64,7 @@ def test_dp_step_matches_single_device():
     p1, l1 = results[1]
     p8, l8 = results[8]
     np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    # remaining slack is f32 psum reassociation only
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
