@@ -52,12 +52,20 @@ def _restore(cfg: Config, ckpt_dir: Optional[str], step: Optional[int]):
 
 def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
              step: Optional[int] = None,
-             max_batches: int = 0) -> Dict[str, float]:
+             max_batches: int = 0,
+             split: str = "auto") -> Dict[str, float]:
     """Restore a checkpoint and report metrics (pos MAE cm / rot MAE deg,
-    BASELINE.json:2) over the eval transform pipeline (no augmentation)."""
+    BASELINE.json:2) over the eval transform pipeline (no augmentation).
+
+    split="auto" evaluates the held-out split when cfg.data.val_fraction
+    is set, else the full dataset (the reference research-repo behavior)."""
+    if split == "auto":
+        split = "val" if cfg.data.val_fraction > 0 else "all"
     model, state, got_step = _restore(cfg, ckpt_dir, step)
-    dataset = build_dataset(cfg)
-    pipe = HostPipeline(dataset, cfg.data, sharding=None, train=False)
+    dataset = build_dataset(cfg, split=split)
+    bs = min(cfg.data.batch_size, len(dataset))
+    pipe = HostPipeline(dataset, cfg.data, sharding=None, train=False,
+                        batch_size=bs)
     eval_step = make_eval_step(model, cfg.train)
     out = evaluate_pipeline(eval_step, state, pipe, max_batches=max_batches)
     out["step"] = got_step

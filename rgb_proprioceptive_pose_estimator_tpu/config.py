@@ -33,7 +33,10 @@ class ModelConfig:
     # temporal stacking: number of recent frames stacked as input
     # (BASELINE.json:11). 1 = no stacking.
     temporal_frames: int = 1
-    # "channel" stacks T frames along channels; proprio always flattens T*D.
+    # "channel": T frames stack along channels into one encoder pass;
+    # "lstm": per-frame encoding + LSTM over the feature sequence (the
+    # reference's temporally-dependent estimator variant, SURVEY.md 1.3).
+    # Proprio always flattens T*D.
     temporal_mode: str = "channel"
     # compute dtype policy; params always float32 (BASELINE.json:10 bf16 path)
     dtype: str = "float32"         # "float32" | "bfloat16"
@@ -56,6 +59,10 @@ class DataConfig:
     source: str = "synthetic"      # "synthetic" | "hdf5"
     path: str = ""                 # HDF5 file path when source == "hdf5"
     batch_size: int = 64           # GLOBAL batch size (split across chips)
+    # held-out fraction for eval (hdf5: by demo; synthetic: by index).
+    # 0 = eval on the training data (reference research-repo behavior).
+    val_fraction: float = 0.0
+    split_seed: int = 0
     num_workers: int = 8           # host decode/augment threads
     prefetch: int = 2              # device-side prefetch depth (double buffer)
     shuffle: bool = True

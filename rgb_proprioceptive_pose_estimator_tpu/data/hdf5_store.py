@@ -46,6 +46,9 @@ class HDF5DemoStore:
         use_proprio: bool = True,
         use_native: bool = True,               # C++ augment engine if built
         cache_images: Optional[bool] = None,   # None = auto (< 4 GiB)
+        split: str = "all",                    # "all" | "train" | "val"
+        val_fraction: float = 0.0,             # held-out fraction, by demo
+        split_seed: int = 0,
         crop_scale: Tuple[float, float] = (0.8, 1.0),
         hflip_prob: float = 0.5,
         jitter_brightness: float = 0.2,
@@ -79,6 +82,18 @@ class HDF5DemoStore:
         img_bytes = 0
         with h5py.File(path, "r") as f:
             demos = sorted(f["data"].keys(), key=_natural_key)
+            if val_fraction > 0 and split != "all":
+                # split at demo granularity so no trajectory leaks across
+                n_val = max(1, int(round(len(demos) * val_fraction)))
+                perm = np.random.RandomState(split_seed).permutation(
+                    len(demos))
+                val_set = set(perm[:n_val].tolist())
+                demos = [d for i, d in enumerate(demos)
+                         if (i in val_set) == (split == "val")]
+                if not demos:
+                    raise ValueError(
+                        f"split {split!r} empty (val_fraction="
+                        f"{val_fraction}, {len(val_set)} val demos)")
             for di, dk in enumerate(demos):
                 g = f["data"][dk]
                 tgt = np.asarray(g[self.target_key], dtype=np.float32)

@@ -34,8 +34,11 @@ from rgb_proprioceptive_pose_estimator_tpu.data.synthetic import (
 )
 
 
-def build_dataset(cfg: Config):
-    """Construct the dataset named by cfg.data.source (C1/C15)."""
+def build_dataset(cfg: Config, split: str = "all"):
+    """Construct the dataset named by cfg.data.source (C1/C15).
+
+    split: "all" | "train" | "val" -- "train"/"val" are only distinct when
+    cfg.data.val_fraction > 0 (hdf5 splits by demo; synthetic by index)."""
     d, m = cfg.data, cfg.model
     if d.source == "synthetic":
         return SyntheticProprioDataset(
@@ -44,12 +47,17 @@ def build_dataset(cfg: Config):
             noise=d.synthetic_noise,
             seed=d.seed,
             temporal_frames=m.temporal_frames,
+            split=split,
+            val_fraction=d.val_fraction,
         )
     if d.source == "hdf5":
         if not d.path:
             raise ValueError("cfg.data.path required for hdf5 source")
         return HDF5DemoStore(
             d.path,
+            split=split,
+            val_fraction=d.val_fraction,
+            split_seed=d.split_seed,
             cameras=m.cameras if m.backbone != "none" else (),
             image_size=m.image_size,
             temporal_frames=m.temporal_frames,

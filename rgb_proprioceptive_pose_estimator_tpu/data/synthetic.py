@@ -14,7 +14,8 @@ import numpy as np
 class SyntheticProprioDataset:
     def __init__(self, size: int = 4096, proprio_dim: int = 32,
                  noise: float = 0.01, seed: int = 0,
-                 temporal_frames: int = 1):
+                 temporal_frames: int = 1, split: str = "all",
+                 val_fraction: float = 0.0):
         rs = np.random.RandomState(seed ^ 0x5EED)
         self.size = size
         self.proprio_dim = proprio_dim
@@ -35,6 +36,15 @@ class SyntheticProprioDataset:
 
         if temporal_frames == 1:
             states = states[:, 0]
+
+        # train/val split by index (same generated universe either way)
+        if val_fraction > 0 and split != "all":
+            n_val = max(1, int(round(size * val_fraction)))
+            sl = slice(size - n_val, None) if split == "val" else (
+                slice(0, size - n_val))
+            states, pos, quat = states[sl], pos[sl], quat[sl]
+            self.size = states.shape[0]
+
         self._states = states
         self._pos = pos.astype(np.float32)
         self._quat = quat.astype(np.float32)

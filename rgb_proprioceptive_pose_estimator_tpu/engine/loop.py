@@ -70,9 +70,15 @@ def fit(cfg: Config) -> Dict[str, Any]:
     state = create_state(cfg, tx, seed=tcfg.seed)
     state = jax.device_put(state, rsh)
 
-    dataset = build_dataset(cfg)
+    has_val = cfg.data.val_fraction > 0
+    dataset = build_dataset(cfg, split="train" if has_val else "all")
+    eval_ds = build_dataset(cfg, split="val") if has_val else dataset
     train_pipe = HostPipeline(dataset, cfg.data, sharding=bsh, train=True)
-    eval_pipe = HostPipeline(dataset, cfg.data, sharding=bsh, train=False)
+    # eval batch shrinks to the held-out split if it is small (still a
+    # multiple of the device count for sharding)
+    eval_bs = min(cfg.data.batch_size, (len(eval_ds) // n_dev) * n_dev)
+    eval_pipe = HostPipeline(eval_ds, cfg.data, sharding=bsh, train=False,
+                             batch_size=max(eval_bs, n_dev))
 
     ckpt = CheckpointManager(tcfg.ckpt_dir, keep=tcfg.ckpt_keep)
     start_step = 0

@@ -66,12 +66,32 @@ class PoseEstimator(nn.Module):
 
         if cfg.backbone != "none":
             images = batch["images"]
+            lstm = cfg.temporal_frames > 1 and cfg.temporal_mode == "lstm"
             # one encoder per camera (C10, BASELINE.json:11)
             for cam in cfg.cameras:
-                img = _stack_temporal(images[cam])
-                x = normalize_images(img, cfg.image_mean, cfg.image_std,
-                                     dtype=dtype, use_pallas=cfg.use_pallas)
-                feats.append(self._encoder(f"encoder_{cam}")(x, train))
+                img = images[cam]
+                if lstm:
+                    # temporally-dependent variant (SURVEY.md 1.3): encode
+                    # each frame, run an LSTM over the feature sequence
+                    b, t = img.shape[:2]
+                    x = img.reshape((b * t,) + img.shape[2:])
+                    x = normalize_images(x, cfg.image_mean, cfg.image_std,
+                                         dtype=dtype,
+                                         use_pallas=cfg.use_pallas)
+                    f = self._encoder(f"encoder_{cam}")(x, train)
+                    f = f.reshape(b, t, -1)
+                    f = nn.RNN(
+                        nn.OptimizedLSTMCell(
+                            cfg.image_features, dtype=dtype,
+                            param_dtype=jnp.float32,
+                            name=f"lstm_{cam}"))(f)
+                    feats.append(f[:, -1])
+                else:
+                    x = _stack_temporal(img)
+                    x = normalize_images(x, cfg.image_mean, cfg.image_std,
+                                         dtype=dtype,
+                                         use_pallas=cfg.use_pallas)
+                    feats.append(self._encoder(f"encoder_{cam}")(x, train))
 
         if cfg.use_proprio:
             feats.append(

@@ -1,0 +1,166 @@
+"""Train/val splits, LSTM temporal variant, torch weight import."""
+
+import jax
+import numpy as np
+import pytest
+
+from rgb_proprioceptive_pose_estimator_tpu.config import (
+    Config,
+    DataConfig,
+    ModelConfig,
+)
+from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import HDF5DemoStore
+from rgb_proprioceptive_pose_estimator_tpu.data.pipeline import build_dataset
+from rgb_proprioceptive_pose_estimator_tpu.data.synthetic import (
+    SyntheticProprioDataset,
+)
+from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+    build_model,
+    example_batch,
+)
+from rgb_proprioceptive_pose_estimator_tpu.utils.torch_import import (
+    import_torch_resnet,
+    load_pretrained_backbone,
+)
+
+
+# ---- splits -----------------------------------------------------------------
+
+def test_synthetic_split_partition():
+    full = SyntheticProprioDataset(size=100, proprio_dim=8, seed=1)
+    tr = SyntheticProprioDataset(size=100, proprio_dim=8, seed=1,
+                                 split="train", val_fraction=0.2)
+    va = SyntheticProprioDataset(size=100, proprio_dim=8, seed=1,
+                                 split="val", val_fraction=0.2)
+    assert len(tr) == 80 and len(va) == 20
+    # same universe, disjoint halves
+    np.testing.assert_array_equal(tr._states, full._states[:80])
+    np.testing.assert_array_equal(va._states, full._states[80:])
+
+
+def test_hdf5_split_by_demo(demo_h5):
+    kw = dict(cameras=("agentview",), image_size=64, val_fraction=1 / 3,
+              split_seed=0)
+    tr = HDF5DemoStore(demo_h5, split="train", **kw)
+    va = HDF5DemoStore(demo_h5, split="val", **kw)
+    assert len(tr) == 40 and len(va) == 20       # 3 demos x 20 steps
+    assert set(tr._demo_keys).isdisjoint(va._demo_keys)
+    assert set(tr._demo_keys) | set(va._demo_keys) == {
+        "demo_0", "demo_1", "demo_2"}
+
+
+def test_build_dataset_split_plumbing():
+    cfg = Config(data=DataConfig(source="synthetic", val_fraction=0.25,
+                                 synthetic_size=64))
+    tr = build_dataset(cfg, split="train")
+    va = build_dataset(cfg, split="val")
+    assert len(tr) == 48 and len(va) == 16
+
+
+# ---- LSTM temporal variant ---------------------------------------------------
+
+def test_lstm_temporal_mode():
+    cfg = ModelConfig(backbone="cnn_small", image_size=64, temporal_frames=3,
+                      temporal_mode="lstm", use_proprio=True, proprio_dim=8,
+                      image_features=32, head_hidden=(32,))
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    assert "lstm_agentview" in variables["params"]
+    pos, quat = model.apply(variables, batch, train=False)
+    assert pos.shape == (2, 3) and quat.shape == (2, 4)
+    # train mode works too (BN over B*T frames)
+    (_, _), mut = model.apply(variables, batch, train=True,
+                              mutable=["batch_stats"])
+
+
+def test_lstm_differs_from_channel_stack():
+    kw = dict(backbone="cnn_small", image_size=64, temporal_frames=3,
+              use_proprio=False, image_features=32, head_hidden=(32,))
+    m_l = build_model(ModelConfig(temporal_mode="lstm", **kw))
+    m_c = build_model(ModelConfig(temporal_mode="channel", **kw))
+    batch = example_batch(ModelConfig(temporal_mode="lstm", **kw), 2)
+    v_l = m_l.init(jax.random.PRNGKey(0), batch, train=False)
+    v_c = m_c.init(jax.random.PRNGKey(0), batch, train=False)
+    # channel mode sees T*C input channels; lstm mode sees C
+    k_l = v_l["params"]["encoder_agentview"]["block0"]["conv"]["kernel"]
+    k_c = v_c["params"]["encoder_agentview"]["block0"]["conv"]["kernel"]
+    assert k_l.shape[2] == 3 and k_c.shape[2] == 9
+
+
+# ---- torch weight import -------------------------------------------------------
+
+def _fake_torch_sd_from_flax(params, stats, arch):
+    """Inverse-map a flax ResNet tree into torchvision state_dict naming."""
+    sd = {}
+
+    def put_convbn(tconv, tbn, node_p, node_s):
+        sd[f"{tconv}.weight"] = np.transpose(
+            np.asarray(node_p["conv"]["kernel"]), (3, 2, 0, 1))
+        sd[f"{tbn}.weight"] = np.asarray(node_p["bn"]["scale"])
+        sd[f"{tbn}.bias"] = np.asarray(node_p["bn"]["bias"])
+        sd[f"{tbn}.running_mean"] = np.asarray(node_s["bn"]["mean"])
+        sd[f"{tbn}.running_var"] = np.asarray(node_s["bn"]["var"])
+
+    put_convbn("conv1", "bn1", params["stem"], stats["stem"])
+    stages = (2, 2, 2, 2) if arch == "resnet18" else (3, 4, 6, 3)
+    n_convs = 2 if arch == "resnet18" else 3
+    for s, nb in enumerate(stages, start=1):
+        for b in range(nb):
+            name = f"stage{s}_block{b}"
+            for k in range(1, n_convs + 1):
+                put_convbn(f"layer{s}.{b}.conv{k}", f"layer{s}.{b}.bn{k}",
+                           params[name][f"conv{k}"], stats[name][f"conv{k}"])
+            if "downsample" in params[name]:
+                put_convbn(f"layer{s}.{b}.downsample.0",
+                           f"layer{s}.{b}.downsample.1",
+                           params[name]["downsample"],
+                           stats[name]["downsample"])
+    return sd
+
+
+def test_torch_import_roundtrip():
+    """flax -> fake torch sd -> import == identity (validates key mapping
+    and the OIHW<->HWIO transposes both ways)."""
+    cfg = ModelConfig(backbone="resnet18", image_size=64, use_proprio=False,
+                      image_features=64, head_hidden=(32,))
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=1)
+    variables = model.init(jax.random.PRNGKey(1), batch, train=False)
+
+    enc_p = variables["params"]["encoder_agentview"]
+    enc_s = variables["batch_stats"]["encoder_agentview"]
+    sd = _fake_torch_sd_from_flax(enc_p, enc_s, "resnet18")
+
+    merged = load_pretrained_backbone(variables, "agentview", sd, "resnet18")
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(merged["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(variables["batch_stats"]),
+                    jax.tree.leaves(merged["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_torch_import_rejects_bad_arch():
+    with pytest.raises(ValueError):
+        import_torch_resnet({}, "resnet34")
+
+
+def test_torch_import_shape_mismatch_raises():
+    cfg = ModelConfig(backbone="resnet50", image_size=64, use_proprio=False,
+                      image_features=64, head_hidden=(32,))
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=1)
+    variables = model.init(jax.random.PRNGKey(1), batch, train=False)
+    # resnet18-shaped weights into a resnet50 encoder must fail loudly
+    cfg18 = ModelConfig(backbone="resnet18", image_size=64,
+                        use_proprio=False, image_features=64,
+                        head_hidden=(32,))
+    m18 = build_model(cfg18)
+    v18 = m18.init(jax.random.PRNGKey(1), example_batch(cfg18, 1),
+                   train=False)
+    sd18 = _fake_torch_sd_from_flax(
+        v18["params"]["encoder_agentview"],
+        v18["batch_stats"]["encoder_agentview"], "resnet18")
+    with pytest.raises((KeyError, ValueError)):
+        load_pretrained_backbone(variables, "agentview", sd18, "resnet18")
