@@ -74,15 +74,19 @@ def main() -> None:
         for i in range(2)
     ]
 
+    # Synchronize by fetching a real value: device_get round-trips actual
+    # bytes, which stays honest on proxy/tunnel backends where
+    # block_until_ready can return before execution completes.
     for i in range(args.warmup):
         state, metrics = step(state, batches[i % 2])
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics = step(state, batches[i % 2])
-    jax.block_until_ready(metrics["loss"])
+    loss = float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
 
     imgs_per_sec = global_batch * args.steps / dt
     per_chip_rate = imgs_per_sec / n_dev

@@ -43,6 +43,9 @@ class ModelConfig:
     # use hand-written Pallas fused kernels where available (XLA fusion is the
     # default-correct fallback, SURVEY.md section 8 hard-part 4)
     use_pallas: bool = False
+    # rematerialize residual blocks (jax.checkpoint): trades recompute FLOPs
+    # for activation HBM -- enables bigger per-chip batches at 224x224
+    remat: bool = False
     # BatchNorm semantics: torch momentum 0.1 == flax momentum 0.9
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
@@ -114,6 +117,11 @@ class TrainConfig:
     metrics_path: str = ""         # JSONL metrics file ("" = ckpt_dir/metrics.jsonl)
     tensorboard: bool = False
     debug_nans: bool = False       # jax_debug_nans mode (SURVEY.md section 6.2)
+    # capture a jax.profiler trace window (SURVEY.md section 6.1); view with
+    # tensorboard-plugin-profile. "" = off.
+    profile_dir: str = ""
+    profile_start: int = 10        # first profiled step
+    profile_steps: int = 5         # trace window length
 
 
 @dataclass

@@ -32,6 +32,7 @@ from rgb_proprioceptive_pose_estimator_tpu.models.fusion import build_model
 from rgb_proprioceptive_pose_estimator_tpu.parallel import mesh as pmesh
 from rgb_proprioceptive_pose_estimator_tpu.utils.checkpoint import CheckpointManager
 from rgb_proprioceptive_pose_estimator_tpu.utils.metrics import MetricsLogger
+from rgb_proprioceptive_pose_estimator_tpu.utils.prof import TraceWindow
 
 
 def evaluate_pipeline(eval_step, state: TrainState, pipeline: HostPipeline,
@@ -94,6 +95,8 @@ def fit(cfg: Config) -> Dict[str, Any]:
     metrics_path = tcfg.metrics_path or f"{tcfg.ckpt_dir}/metrics.jsonl"
     logger = MetricsLogger(metrics_path, tensorboard=tcfg.tensorboard,
                            tb_dir=tcfg.ckpt_dir)
+    tracer = TraceWindow(tcfg.profile_dir, tcfg.profile_start,
+                         tcfg.profile_steps)
 
     last_metrics: Dict[str, float] = {}
     t_log = time.perf_counter()
@@ -102,6 +105,7 @@ def fit(cfg: Config) -> Dict[str, Any]:
         state, m = train_step(state, batch)
 
         step1 = step_i + 1
+        tracer.on_step(step1, sync=m["loss"])
         if step1 % tcfg.log_every == 0 or step1 == tcfg.steps:
             m = jax.device_get(m)          # forces device sync at log points
             now = time.perf_counter()
@@ -131,6 +135,7 @@ def fit(cfg: Config) -> Dict[str, Any]:
 
     ckpt.save(tcfg.steps, state, data_state=train_pipe.state_dict())
     ckpt.wait()
+    tracer.close(sync=state.params)
     logger.close()
     train_pipe.close()
     eval_pipe.close()

@@ -55,12 +55,14 @@ class BatchNormAct(nn.Module):
         )
 
         if train:
-            xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
+            # reduce the (possibly bf16) input with an f32 accumulator --
+            # XLA fuses the convert into the reduction, no f32 intermediate
+            mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+            mean_sq = jnp.mean(
+                jnp.square(x.astype(jnp.float32)), axis=axes)
             # biased variance for normalization (torch behavior)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
-            var = jnp.maximum(var, 0.0)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 n = math.prod(x.shape[:-1])
                 unbiased = var * (n / max(n - 1, 1))

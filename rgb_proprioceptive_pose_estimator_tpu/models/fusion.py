@@ -51,10 +51,12 @@ class PoseEstimator(nn.Module):
                             use_pallas=cfg.use_pallas, name=name)
         if cfg.backbone == "resnet18":
             return ResNet18(features=cfg.image_features, dtype=dtype,
-                            use_pallas=cfg.use_pallas, name=name)
+                            use_pallas=cfg.use_pallas, remat=cfg.remat,
+                            name=name)
         if cfg.backbone == "resnet50":
             return ResNet50(features=cfg.image_features, dtype=dtype,
-                            use_pallas=cfg.use_pallas, name=name)
+                            use_pallas=cfg.use_pallas, remat=cfg.remat,
+                            name=name)
         raise ValueError(f"unknown backbone {self.cfg.backbone!r}")
 
     @nn.compact

@@ -79,6 +79,7 @@ class ResNet(nn.Module):
     features: int = 512            # output embedding width
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    remat: bool = False            # jax.checkpoint each residual block
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -88,6 +89,9 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
+        if self.remat:
+            # recompute block activations in the backward pass
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         for stage, n_blocks in enumerate(self.stage_sizes):
             width = 64 * (2 ** stage)
             for i in range(n_blocks):
@@ -103,13 +107,15 @@ class ResNet(nn.Module):
 
 
 def ResNet18(features: int = 512, dtype: Any = jnp.float32,
-             use_pallas: bool = False, name=None) -> ResNet:
+             use_pallas: bool = False, remat: bool = False,
+             name=None) -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), block="basic", features=features,
-                  dtype=dtype, use_pallas=use_pallas, name=name)
+                  dtype=dtype, use_pallas=use_pallas, remat=remat, name=name)
 
 
 def ResNet50(features: int = 1024, dtype: Any = jnp.float32,
-             use_pallas: bool = False, name=None) -> ResNet:
+             use_pallas: bool = False, remat: bool = False,
+             name=None) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block="bottleneck",
                   features=features, dtype=dtype, use_pallas=use_pallas,
-                  name=name)
+                  remat=remat, name=name)
