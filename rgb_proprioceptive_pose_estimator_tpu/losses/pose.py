@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import chex
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +34,11 @@ def pose_loss(
     head also normalizes, which makes this a no-op there, but keeps the loss
     safe standalone). Loss math runs in float32 regardless of compute dtype.
     """
+    # boundary sanity (SURVEY.md section 6.2): static, free under jit
+    chex.assert_equal_shape([pred_pos, target_pos])
+    chex.assert_equal_shape([pred_quat, target_quat])
+    chex.assert_axis_dimension(pred_pos, -1, 3)
+    chex.assert_axis_dimension(pred_quat, -1, 4)
     pred_pos = pred_pos.astype(jnp.float32)
     pred_quat = pose_math.quat_normalize(pred_quat.astype(jnp.float32))
     target_pos = target_pos.astype(jnp.float32)
