@@ -120,10 +120,9 @@ class Predictor:
             batch["proprio"] = prep(obs["proprio"]).astype(np.float32)
             n = batch["proprio"].shape[0]
 
-        # pad to the fixed compiled batch size
-        pad = (-n) % self.max_batch if n < self.max_batch else (
-            (-n) % self.max_batch)
-        target = n + pad
+        # pad to a multiple of the compiled batch size (no recompiles for
+        # any n <= max_batch; larger batches compile once per padded size)
+        target = n + ((-n) % self.max_batch)
 
         def padded(x):
             if x.shape[0] == target:

@@ -32,14 +32,21 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        # explicit symmetric (1,1) padding: flax 'SAME' pads asymmetrically
+        # (right/bottom) for stride 2, which silently diverges from torch's
+        # pad=1 -- caught by tests/parity/test_e2e_model_parity.py
+        pad1 = [(1, 1), (1, 1)]
         residual = x
-        y = ConvBNReLU(self.features, (3, 3), self.strides, dtype=self.dtype,
+        y = ConvBNReLU(self.features, (3, 3), self.strides, padding=pad1,
+                       dtype=self.dtype,
                        use_pallas=self.use_pallas, name="conv1")(x, train)
-        y = ConvBNReLU(self.features, (3, 3), (1, 1), act=False,
+        y = ConvBNReLU(self.features, (3, 3), (1, 1), padding=pad1,
+                       act=False,
                        dtype=self.dtype, use_pallas=self.use_pallas,
                        name="conv2")(y, train)
         if residual.shape != y.shape:
             residual = ConvBNReLU(self.features, (1, 1), self.strides,
+                                  padding="VALID",
                                   act=False, dtype=self.dtype,
                                   use_pallas=self.use_pallas,
                                   name="downsample")(x, train)
@@ -59,14 +66,19 @@ class Bottleneck(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         out_feat = self.features * self.expansion
         residual = x
-        y = ConvBNReLU(self.features, (1, 1), (1, 1), dtype=self.dtype,
+        y = ConvBNReLU(self.features, (1, 1), (1, 1), padding="VALID",
+                       dtype=self.dtype,
                        use_pallas=self.use_pallas, name="conv1")(x, train)
-        y = ConvBNReLU(self.features, (3, 3), self.strides, dtype=self.dtype,
+        # symmetric pad=1 (torch semantics) -- see BasicBlock note
+        y = ConvBNReLU(self.features, (3, 3), self.strides,
+                       padding=[(1, 1), (1, 1)], dtype=self.dtype,
                        use_pallas=self.use_pallas, name="conv2")(y, train)
-        y = ConvBNReLU(out_feat, (1, 1), (1, 1), act=False, dtype=self.dtype,
+        y = ConvBNReLU(out_feat, (1, 1), (1, 1), padding="VALID",
+                       act=False, dtype=self.dtype,
                        use_pallas=self.use_pallas, name="conv3")(y, train)
         if residual.shape != y.shape:
-            residual = ConvBNReLU(out_feat, (1, 1), self.strides, act=False,
+            residual = ConvBNReLU(out_feat, (1, 1), self.strides,
+                                  padding="VALID", act=False,
                                   dtype=self.dtype,
                                   use_pallas=self.use_pallas,
                                   name="downsample")(x, train)
