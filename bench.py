@@ -28,7 +28,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-per-chip", type=int, default=0,
                     help="per-chip batch size (0 = auto by backend)")
-    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--image-size", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
@@ -48,7 +48,8 @@ def main() -> None:
     from rgb_proprioceptive_pose_estimator_tpu.parallel import mesh as pmesh
 
     on_tpu = jax.default_backend() == "tpu"
-    per_chip = args.batch_per_chip or (256 if on_tpu else 16)
+    # 512/chip measured best on v5e (batch sweep in docs/DESIGN.md)
+    per_chip = args.batch_per_chip or (512 if on_tpu else 16)
     n_dev = len(jax.devices())
     global_batch = per_chip * n_dev
 

@@ -99,3 +99,37 @@ def test_resume_auto_continues(tmp_path):
     cont = base.override(**{"train.steps": 80, "train.ckpt_every": 80})
     out = rppe.train(cont)
     assert int(out["state"].step) == 80
+
+
+def test_pr5_shape_dualcam_temporal_dp(tmp_path, demo_h5):
+    """Config-5 shape (BASELINE.json:11) at tiny scale: dual-camera
+    two-encoder fusion + temporal stacking + data-parallel over all 8
+    fake devices, trained end-to-end through the real pipeline."""
+    cfg = rppe.preset("pr5").override(**{
+        "model.backbone": "cnn_small",  # keep the CPU-mesh compile fast
+        "model.image_size": 32,
+        "model.image_features": 32,
+        "model.proprio_dim": 16,
+        "model.proprio_hidden": [32],
+        "model.proprio_features": 16,
+        "model.head_hidden": [32],
+        "model.dtype": "float32",      # CPU mesh: bf16 is slow and untested here
+        "data.path": demo_h5,
+        "data.batch_size": 16,
+        "data.num_workers": 2,
+        "train.steps": 6,
+        "train.log_every": 3,
+        "train.eval_every": 6,
+        "train.eval_steps": 2,
+        "train.ckpt_every": 6,
+        "train.ckpt_dir": str(tmp_path / "ckpt5"),
+    })
+    out = rppe.train(cfg)
+    assert out["mesh"].devices.size == 8
+    m = out["metrics"]
+    assert np.isfinite(m["loss"])
+    assert "eval_pos_mae_cm" in m
+    # both encoders + temporal stacking actually in the graph
+    params = out["state"].params
+    assert "encoder_agentview" in params
+    assert "encoder_robot0_eye_in_hand" in params
