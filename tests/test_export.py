@@ -1,0 +1,60 @@
+"""AOT serving export (utils/export.py): train -> export -> load -> serve."""
+
+import numpy as np
+import pytest
+
+import rgb_proprioceptive_pose_estimator_tpu as rppe
+from rgb_proprioceptive_pose_estimator_tpu.utils.export import (
+    export_predictor,
+    load_predictor,
+)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("exp") / "ckpt")
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 40,
+        "train.eval_every": 0,
+        "train.ckpt_every": 40,
+        "train.log_every": 100,
+        "train.ckpt_dir": ckpt,
+        "data.synthetic_size": 128,
+    })
+    rppe.train(cfg)
+    return cfg
+
+
+def test_export_load_matches_predictor(trained, tmp_path):
+    cfg = trained
+    path = export_predictor(str(tmp_path / "pose.rppe"), cfg, max_batch=4)
+
+    serve = load_predictor(path)
+    assert serve.meta["max_batch"] == 4
+
+    rs = np.random.RandomState(0)
+    batch = {"proprio": rs.randn(3, cfg.model.proprio_dim).astype(np.float32)}
+    pos_a, quat_a = serve(batch)
+
+    pred = rppe.Predictor(cfg, max_batch=4)
+    pos_b, quat_b = pred(dict(batch))
+
+    assert pos_a.shape == (3, 3) and quat_a.shape == (3, 4)
+    np.testing.assert_allclose(pos_a, pos_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(quat_a, quat_b, rtol=1e-5, atol=1e-6)
+
+
+def test_export_rejects_oversize_and_bad_file(trained, tmp_path):
+    cfg = trained
+    path = export_predictor(str(tmp_path / "pose2.rppe"), cfg, max_batch=2)
+    serve = load_predictor(path)
+    with pytest.raises(ValueError):
+        serve({"proprio": np.zeros((5, cfg.model.proprio_dim), np.float32)})
+
+    bad = tmp_path / "bad.rppe"
+    import zipfile
+
+    with zipfile.ZipFile(bad, "w") as z:
+        z.writestr("meta.json", "{}")
+    with pytest.raises((ValueError, KeyError)):
+        load_predictor(str(bad))
