@@ -43,12 +43,19 @@ def load_config(args) -> Config:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rppe")
-    ap.add_argument("command", choices=["train", "eval", "config", "presets"])
+    ap.add_argument("command",
+                    choices=["train", "eval", "predict", "config", "presets"])
     ap.add_argument("--preset", default="pr1", choices=sorted(PRESETS))
     ap.add_argument("--config", default="", help="JSON config file")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
                     help="dotted config override, repeatable")
-    ap.add_argument("--ckpt-dir", default="", help="eval: checkpoint dir")
+    ap.add_argument("--ckpt-dir", default="", help="eval/predict: checkpoint dir")
+    ap.add_argument("--step", type=int, default=0,
+                    help="eval/predict: checkpoint step (0 = latest)")
+    ap.add_argument("--demo", type=int, default=0,
+                    help="predict: demo index in data.path")
+    ap.add_argument("--t", type=int, default=-1,
+                    help="predict: timestep (-1 = all steps of the demo)")
     args = ap.parse_args(argv)
 
     if args.command == "presets":
@@ -69,8 +76,53 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "eval":
-        m = rppe.evaluate(cfg, ckpt_dir=args.ckpt_dir or None)
+        m = rppe.evaluate(cfg, ckpt_dir=args.ckpt_dir or None,
+                          step=args.step or None)
         print(json.dumps(m, indent=2))
+        return 0
+
+    if args.command == "predict":
+        # run the checkpointed model over demo steps from data.path and
+        # report predicted vs target pose (the reference's
+        # test_model.py-style workflow)
+        import numpy as np
+
+        from rgb_proprioceptive_pose_estimator_tpu.data.pipeline import (
+            build_dataset,
+        )
+        from rgb_proprioceptive_pose_estimator_tpu.losses.pose import (
+            pose_metrics,
+        )
+
+        if cfg.data.source != "hdf5":
+            raise SystemExit("predict requires an hdf5 data source "
+                             "(set data.path)")
+        ds = build_dataset(cfg)
+        # flat indices of the requested demo/timesteps
+        demo_mask = ds._index[:, 0] == args.demo
+        flat = np.nonzero(demo_mask)[0]
+        if flat.size == 0:
+            raise SystemExit(f"demo {args.demo} not found")
+        if args.t >= 0:
+            flat = flat[args.t:args.t + 1]
+        batch = ds.get_batch(flat, augment=False, seed=0)
+        tpos = batch.pop("target_pos")
+        tquat = batch.pop("target_quat")
+
+        pred = rppe.Predictor(cfg, ckpt_dir=args.ckpt_dir or None,
+                              step=args.step or None,
+                              max_batch=min(len(flat), 32))
+        pos, quat = pred(batch)
+        m = pose_metrics(pos, quat, tpos, tquat)
+        for i in range(len(flat)):
+            print(json.dumps({
+                "t": int(ds._index[flat[i]][1]),
+                "pred_pos": [round(float(v), 4) for v in pos[i]],
+                "target_pos": [round(float(v), 4) for v in tpos[i]],
+                "pred_quat": [round(float(v), 4) for v in quat[i]],
+            }))
+        print(json.dumps({"pos_mae_cm": round(float(m["pos_mae_cm"]), 3),
+                          "rot_mae_deg": round(float(m["rot_mae_deg"]), 3)}))
         return 0
 
     return 1

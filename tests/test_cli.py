@@ -1,0 +1,71 @@
+"""CLI surface: config plumbing, train -> eval -> predict round trip."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rgb_proprioceptive_pose_estimator_tpu.cli import main
+
+
+def test_presets_and_config(capsys):
+    assert main(["presets"]) == 0
+    out = capsys.readouterr().out
+    assert "pr3" in out
+
+    assert main(["config", "--preset", "pr4",
+                 "--set", "train.lr=0.01"]) == 0
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["model"]["backbone"] == "resnet50"
+    assert cfg["train"]["lr"] == 0.01
+
+
+def test_unknown_override_fails():
+    with pytest.raises(KeyError):
+        main(["config", "--preset", "pr1", "--set", "train.bogus=1"])
+
+
+def test_train_eval_predict_roundtrip(tmp_path, demo_h5, capsys):
+    common = [
+        "--preset", "pr2",
+        "--set", "model.backbone=cnn_small",
+        "--set", "model.use_proprio=true",
+        "--set", "model.proprio_dim=16",
+        "--set", "model.image_size=64",
+        "--set", "model.image_features=32",
+        "--set", "model.head_hidden=[32]",
+        "--set", f"data.path={demo_h5}",
+        "--set", "data.batch_size=16",
+        "--set", "data.num_workers=0",
+        "--set", f"train.ckpt_dir={tmp_path / 'ckpt'}",
+    ]
+    assert main(["train", *common,
+                 "--set", "train.steps=8",
+                 "--set", "train.eval_every=0",
+                 "--set", "train.log_every=8",
+                 "--set", "train.ckpt_every=8"]) == 0
+    train_out = json.loads(capsys.readouterr().out)
+    assert np.isfinite(train_out["loss"])
+
+    assert main(["eval", *common]) == 0
+    eval_out = json.loads(capsys.readouterr().out)
+    assert eval_out["step"] == 8
+    assert "pos_mae_cm" in eval_out
+
+    assert main(["predict", *common, "--demo", "1", "--t", "3"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["t"] == 3 and len(rec["pred_pos"]) == 3
+    summary = json.loads(lines[-1])
+    assert "pos_mae_cm" in summary
+
+    # whole-demo prediction
+    assert main(["predict", *common, "--demo", "0"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 21  # 20 steps + summary
+
+
+def test_predict_requires_hdf5(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["predict", "--preset", "pr1",
+              "--set", f"train.ckpt_dir={tmp_path}"])
