@@ -102,6 +102,9 @@ class TrainConfig:
     warmup_steps: int = 0
     lr_schedule: str = "constant"  # "constant" | "cosine"
     grad_clip: float = 0.0         # 0 = off
+    # accumulate gradients over N micro-batches before each update
+    # (effective batch = N * data.batch_size; optax.MultiSteps)
+    grad_accum: int = 1
     # loss weighting: L = pos_weight * MSE(pos) + rot_weight * quat_loss
     pos_weight: float = 1.0
     rot_weight: float = 1.0
@@ -113,6 +116,9 @@ class TrainConfig:
     ckpt_every: int = 500
     ckpt_dir: str = "/tmp/rppe_ckpt"
     ckpt_keep: int = 3
+    # additionally keep the checkpoint with the best (lowest) value of this
+    # eval metric, e.g. "pos_mae_cm" or "loss". "" = off.
+    ckpt_best_metric: str = ""
     resume: str = "auto"           # "auto" | "none" | explicit step
     metrics_path: str = ""         # JSONL metrics file ("" = ckpt_dir/metrics.jsonl)
     tensorboard: bool = False

@@ -25,6 +25,7 @@ from rgb_proprioceptive_pose_estimator_tpu.engine.state import (
 )
 from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
     make_eval_step,
+    make_lr_schedule,
     make_optimizer,
     make_train_step,
 )
@@ -82,6 +83,11 @@ def fit(cfg: Config) -> Dict[str, Any]:
                              batch_size=max(eval_bs, n_dev))
 
     ckpt = CheckpointManager(tcfg.ckpt_dir, keep=tcfg.ckpt_keep)
+    best_ckpt = None
+    best_val = float("inf")
+    if tcfg.ckpt_best_metric:
+        # separate keep-1 manager so "latest" resume semantics stay intact
+        best_ckpt = CheckpointManager(f"{tcfg.ckpt_dir}/best", keep=1)
     start_step = 0
     if tcfg.resume == "auto" and ckpt.latest_step() is not None:
         state, data_state, start_step = ckpt.restore(state)
@@ -91,6 +97,7 @@ def fit(cfg: Config) -> Dict[str, Any]:
 
     train_step = make_train_step(model, tx, tcfg)
     eval_step = make_eval_step(model, tcfg)
+    lr_schedule = make_lr_schedule(tcfg)
 
     metrics_path = tcfg.metrics_path or f"{tcfg.ckpt_dir}/metrics.jsonl"
     logger = MetricsLogger(metrics_path, tensorboard=tcfg.tensorboard,
@@ -118,7 +125,7 @@ def fit(cfg: Config) -> Dict[str, Any]:
                 "images_per_sec": imgs / dt,
                 "images_per_sec_per_chip": imgs / dt / n_dev,
                 "host_queue_depth": train_pipe.queue_depth(),
-                "lr_step": step1,
+                "lr": float(lr_schedule(step1 // max(tcfg.grad_accum, 1))),
             })
             logger.log(step1, last_metrics, prefix="train/")
 
@@ -128,6 +135,16 @@ def fit(cfg: Config) -> Dict[str, Any]:
                                    max_batches=tcfg.eval_steps)
             logger.log(step1, em, prefix="eval/")
             last_metrics.update({f"eval_{k}": v for k, v in em.items()})
+            if best_ckpt is not None:
+                v = em.get(tcfg.ckpt_best_metric)
+                if v is None:
+                    raise KeyError(
+                        f"ckpt_best_metric {tcfg.ckpt_best_metric!r} not in "
+                        f"eval metrics {sorted(em)}")
+                if v < best_val:
+                    best_val = v
+                    best_ckpt.save(step1, state,
+                                   data_state=train_pipe.state_dict())
             t_log = time.perf_counter()   # don't bill eval to train throughput
 
         if tcfg.ckpt_every and step1 % tcfg.ckpt_every == 0:
@@ -135,6 +152,8 @@ def fit(cfg: Config) -> Dict[str, Any]:
 
     ckpt.save(tcfg.steps, state, data_state=train_pipe.state_dict())
     ckpt.wait()
+    if best_ckpt is not None:
+        best_ckpt.wait()
     tracer.close(sync=state.params)
     logger.close()
     train_pipe.close()

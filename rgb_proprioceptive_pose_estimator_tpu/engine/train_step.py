@@ -23,17 +23,22 @@ from rgb_proprioceptive_pose_estimator_tpu.engine.state import TrainState
 from rgb_proprioceptive_pose_estimator_tpu.losses.pose import pose_loss, pose_metrics
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_lr_schedule(cfg: TrainConfig):
+    """The learning-rate schedule as a callable step -> lr (also used for
+    metric logging)."""
     if cfg.lr_schedule == "cosine":
-        lr = optax.warmup_cosine_decay_schedule(
+        return optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=cfg.lr,
             warmup_steps=max(cfg.warmup_steps, 1),
             decay_steps=max(cfg.steps, cfg.warmup_steps + 1),
         )
-    elif cfg.warmup_steps > 0:
-        lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
-    else:
-        lr = cfg.lr
+    if cfg.warmup_steps > 0:
+        return optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    return lambda step: cfg.lr
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    lr = make_lr_schedule(cfg)
 
     if cfg.optimizer == "adam":
         tx = optax.adam(lr)
@@ -46,6 +51,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.grad_accum > 1:
+        # accumulate over N micro-batches; the optimizer update (and thus
+        # the logical step) applies every N calls of the jitted step
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx
 
 

@@ -1,0 +1,116 @@
+"""Gradient accumulation, best-checkpoint tracking, lr logging."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import rgb_proprioceptive_pose_estimator_tpu as rppe
+from rgb_proprioceptive_pose_estimator_tpu.config import TrainConfig
+from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+    make_lr_schedule,
+)
+
+
+def test_grad_accum_matches_big_batch(tmp_path):
+    """2 micro-steps at batch 16 with grad_accum=2 == 1 step at batch 32
+    (SGD; same samples)."""
+    from rgb_proprioceptive_pose_estimator_tpu.config import (
+        Config, DataConfig, ModelConfig,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_optimizer, make_train_step,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model, example_batch,
+    )
+
+    mcfg = ModelConfig(backbone="none", cameras=(), use_proprio=True,
+                       proprio_dim=8, proprio_hidden=(16,),
+                       proprio_features=8, head_hidden=(16,))
+    batch32 = example_batch(mcfg, batch_size=32, rng=5)
+
+    def run(accum):
+        cfg = Config(model=mcfg,
+                     train=TrainConfig(optimizer="sgd", lr=1e-2,
+                                       grad_accum=accum))
+        model = build_model(cfg.model)
+        tx = make_optimizer(cfg.train)
+        state = create_state(cfg, tx, seed=0)
+        step = make_train_step(model, tx, cfg.train)
+        if accum == 1:
+            state, _ = step(state, batch32)
+        else:
+            for lo in (0, 16):
+                micro = jax.tree.map(lambda x: x[lo:lo + 16], batch32)
+                state, _ = step(state, micro)
+        return jax.device_get(state.params)
+
+    p_big = run(1)
+    p_acc = run(2)
+    for a, b in zip(jax.tree.leaves(p_big), jax.tree.leaves(p_acc)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_best_checkpoint_tracked(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 60,
+        "train.eval_every": 20,
+        "train.eval_steps": 2,
+        "train.ckpt_every": 60,
+        "train.log_every": 100,
+        "train.ckpt_dir": ckpt_dir,
+        "train.ckpt_best_metric": "pos_mae_cm",
+        "data.synthetic_size": 128,
+    })
+    rppe.train(cfg)
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+    # loss decreases, so the best checkpoint should be a late step
+    from rgb_proprioceptive_pose_estimator_tpu.utils.checkpoint import (
+        CheckpointManager,
+    )
+
+    best = CheckpointManager(os.path.join(ckpt_dir, "best"), keep=1,
+                             async_save=False)
+    assert best.latest_step() in (20, 40, 60)
+    best.close()
+
+
+def test_best_metric_typo_fails_loudly(tmp_path):
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 20,
+        "train.eval_every": 20,
+        "train.eval_steps": 1,
+        "train.ckpt_every": 20,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "train.ckpt_best_metric": "nope_mae",
+        "data.synthetic_size": 128,
+    })
+    with pytest.raises(KeyError):
+        rppe.train(cfg)
+
+
+def test_lr_logged_and_scheduled(tmp_path):
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 30,
+        "train.eval_every": 0,
+        "train.ckpt_every": 30,
+        "train.log_every": 10,
+        "train.lr_schedule": "cosine",
+        "train.warmup_steps": 10,
+        "train.lr": 1e-2,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "data.synthetic_size": 128,
+    })
+    out = rppe.train(cfg)
+    assert "lr" in out["metrics"]
+    # cosine decays to ~0 by the final step
+    assert out["metrics"]["lr"] < 1e-2
+
+    sched = make_lr_schedule(cfg.train)
+    assert float(sched(10)) == pytest.approx(1e-2, rel=1e-3)
+    assert float(sched(30)) < float(sched(15))
