@@ -152,6 +152,8 @@ inline uint8_t RoundClamp8(float v) {
 // Bilinear resize of the crop window [y0, y0+s) x [x0, x0+s) of src
 // (sh x sw x c) into dst (oh x ow x c), with optional horizontal flip and
 // color jitter. Half-pixel-center mapping (cv2.INTER_LINEAR convention).
+// Separable two-pass: each needed source row is horizontally resized once
+// (cached; the row index is monotone in oy), then rows blend vertically.
 void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
                    uint8_t* dst, int oh, int ow,
                    int y0, int x0, int s, bool flip,
@@ -160,31 +162,51 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
   const float scale_x = (float)s / ow;
   const bool jitter = fb > 0.0f || fc > 0.0f || fs > 0.0f;
 
+  // horizontal interpolation tables; flip folds into the table
+  std::vector<int> tx1(ow), tx2(ow);
+  std::vector<float> twx(ow);
+  for (int ox = 0; ox < ow; ++ox) {
+    int sx = flip ? (ow - 1 - ox) : ox;
+    float fx = (sx + 0.5f) * scale_x - 0.5f;
+    int ix = (int)std::floor(fx);
+    twx[ox] = fx - ix;
+    tx1[ox] = std::min(std::max(ix, 0), s - 1);
+    tx2[ox] = std::min(ix + 1, s - 1);
+  }
+
+  // two-row cache of horizontally-resized source rows
+  std::vector<float> rbuf0((size_t)ow * c), rbuf1((size_t)ow * c);
+  float* rows[2] = {rbuf0.data(), rbuf1.data()};
+  int row_y[2] = {-1, -1};
+
+  auto hresize = [&](int sy, float* out) {
+    const uint8_t* r = src + ((int64_t)(y0 + sy) * sw + x0) * c;
+    for (int ox = 0; ox < ow; ++ox) {
+      const uint8_t* p1 = r + tx1[ox] * c;
+      const uint8_t* p2 = r + tx2[ox] * c;
+      const float w = twx[ox];
+      float* o = out + (size_t)ox * c;
+      for (int ch = 0; ch < c; ++ch) {
+        o[ch] = p1[ch] + w * (p2[ch] - p1[ch]);
+      }
+    }
+  };
+
+  auto get_row = [&](int sy) -> const float* {
+    if (row_y[0] == sy) return rows[0];
+    if (row_y[1] == sy) return rows[1];
+    // evict the older slot (row indices are nondecreasing in oy)
+    int slot = (row_y[0] <= row_y[1]) ? 0 : 1;
+    hresize(sy, rows[slot]);
+    row_y[slot] = sy;
+    return rows[slot];
+  };
+
   // Jitter contrast is relative to the mean of the resized crop (numpy
   // backend convention), so the jitter path stages the resized image first
   // and applies the color transform in a second pass.
   std::vector<float> stage;
   float mean = 0.0f;
-
-  auto sample = [&](int oy, int ox, int ch) -> float {
-    float fy = (oy + 0.5f) * scale_y - 0.5f;
-    float fx = (ox + 0.5f) * scale_x - 0.5f;
-    int iy = (int)std::floor(fy);
-    int ix = (int)std::floor(fx);
-    float wy = fy - iy;
-    float wx = fx - ix;
-    int y1 = std::min(std::max(iy, 0), s - 1);
-    int y2 = std::min(iy + 1, s - 1);
-    int x1 = std::min(std::max(ix, 0), s - 1);
-    int x2 = std::min(ix + 1, s - 1);
-    const uint8_t* p11 = src + ((int64_t)(y0 + y1) * sw + (x0 + x1)) * c + ch;
-    const uint8_t* p12 = src + ((int64_t)(y0 + y1) * sw + (x0 + x2)) * c + ch;
-    const uint8_t* p21 = src + ((int64_t)(y0 + y2) * sw + (x0 + x1)) * c + ch;
-    const uint8_t* p22 = src + ((int64_t)(y0 + y2) * sw + (x0 + x2)) * c + ch;
-    float top = *p11 + wx * (*p12 - *p11);
-    float bot = *p21 + wx * (*p22 - *p21);
-    return top + wy * (bot - top);
-  };
 
   if (jitter) {
     // stage holds the rounded (uint8-equivalent) resized crop, matching the
@@ -192,13 +214,16 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
     stage.resize((size_t)oh * ow * c);
     double acc = 0.0;
     for (int oy = 0; oy < oh; ++oy) {
-      for (int ox = 0; ox < ow; ++ox) {
-        int sx = flip ? (ow - 1 - ox) : ox;
-        for (int ch = 0; ch < c; ++ch) {
-          float v = (float)RoundClamp8(sample(oy, sx, ch));
-          stage[((size_t)oy * ow + ox) * c + ch] = v;
-          acc += v;
-        }
+      float fy = (oy + 0.5f) * scale_y - 0.5f;
+      int iy = (int)std::floor(fy);
+      float wy = fy - iy;
+      const float* top = get_row(std::min(std::max(iy, 0), s - 1));
+      const float* bot = get_row(std::min(iy + 1, s - 1));
+      float* srow = &stage[(size_t)oy * ow * c];
+      for (size_t i = 0; i < (size_t)ow * c; ++i) {
+        float v = (float)RoundClamp8(top[i] + wy * (bot[i] - top[i]));
+        srow[i] = v;
+        acc += v;
       }
     }
     mean = (float)(acc / ((double)oh * ow * c));
@@ -229,12 +254,14 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
     }
   } else {
     for (int oy = 0; oy < oh; ++oy) {
-      for (int ox = 0; ox < ow; ++ox) {
-        int sx = flip ? (ow - 1 - ox) : ox;
-        uint8_t* d = dst + ((size_t)oy * ow + ox) * c;
-        for (int ch = 0; ch < c; ++ch) {
-          d[ch] = RoundClamp8(sample(oy, sx, ch));
-        }
+      float fy = (oy + 0.5f) * scale_y - 0.5f;
+      int iy = (int)std::floor(fy);
+      float wy = fy - iy;
+      const float* top = get_row(std::min(std::max(iy, 0), s - 1));
+      const float* bot = get_row(std::min(iy + 1, s - 1));
+      uint8_t* d = dst + (size_t)oy * ow * c;
+      for (size_t i = 0; i < (size_t)ow * c; ++i) {
+        d[i] = RoundClamp8(top[i] + wy * (bot[i] - top[i]));
       }
     }
   }

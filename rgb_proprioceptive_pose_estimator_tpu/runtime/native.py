@@ -32,7 +32,8 @@ def build(force: bool = False) -> Optional[str]:
             os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
+        "-shared", "-fPIC", "-pthread",
         "-fvisibility=hidden", _SRC, "-o", _LIB,
     ]
     try:
