@@ -150,7 +150,10 @@ def fit(cfg: Config) -> Dict[str, Any]:
         if tcfg.ckpt_every and step1 % tcfg.ckpt_every == 0:
             ckpt.save(step1, state, data_state=train_pipe.state_dict())
 
-    ckpt.save(tcfg.steps, state, data_state=train_pipe.state_dict())
+    # final save (skip when resuming an already-completed run: the step
+    # exists and orbax refuses duplicates)
+    if ckpt.latest_step() != tcfg.steps:
+        ckpt.save(tcfg.steps, state, data_state=train_pipe.state_dict())
     ckpt.wait()
     if best_ckpt is not None:
         best_ckpt.wait()

@@ -71,3 +71,16 @@ def test_restore_rejects_missing_dir(tmp_path):
     cfg = _base(tmp_path, "nope", 10, 10)
     with pytest.raises(FileNotFoundError):
         rppe.evaluate(cfg, ckpt_dir=str(tmp_path / "empty"))
+
+
+def test_rerun_completed_config_is_noop(tmp_path):
+    """Re-running an already-finished run must not crash on the duplicate
+    final checkpoint step (resume lands at step == steps)."""
+    cfg = _base(tmp_path, "done", 10, 10)
+    first = rppe.train(cfg)
+    again = rppe.train(cfg)   # resumes at 10, loop body skipped
+    import jax
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(first["state"].params)),
+                    jax.tree.leaves(jax.device_get(again["state"].params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
