@@ -103,7 +103,11 @@ def main(argv=None) -> int:
         flat = np.nonzero(demo_mask)[0]
         if flat.size == 0:
             raise SystemExit(f"demo {args.demo} not found")
-        if args.t >= 0:
+        if args.t != -1:
+            if not 0 <= args.t < flat.size:
+                raise SystemExit(
+                    f"--t {args.t} out of range for demo {args.demo} "
+                    f"({flat.size} steps; -1 = all)")
             flat = flat[args.t:args.t + 1]
         batch = ds.get_batch(flat, augment=False, seed=0)
         tpos = batch.pop("target_pos")

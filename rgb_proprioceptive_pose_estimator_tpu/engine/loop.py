@@ -89,11 +89,24 @@ def fit(cfg: Config) -> Dict[str, Any]:
         # separate keep-1 manager so "latest" resume semantics stay intact
         best_ckpt = CheckpointManager(f"{tcfg.ckpt_dir}/best", keep=1)
     start_step = 0
-    if tcfg.resume == "auto" and ckpt.latest_step() is not None:
+    if ckpt.latest_step() is not None:
+        if tcfg.resume == "none":
+            # refuse to interleave a fresh run into an existing history --
+            # silent overwrites / duplicate-step crashes are both worse
+            raise ValueError(
+                f"train.resume='none' but {tcfg.ckpt_dir} already contains "
+                f"a checkpoint at step {ckpt.latest_step()}; use a fresh "
+                "ckpt_dir or resume='auto'")
         state, data_state, start_step = ckpt.restore(state)
         if data_state is not None:
             train_pipe.load_state_dict(data_state)
         state = jax.device_put(state, rsh)
+        if best_ckpt is not None:
+            # restore the best-so-far value so resume can't overwrite the
+            # true best with a worse post-resume eval
+            best_data = best_ckpt.restore_data()
+            if best_data is not None:
+                best_val = float(best_data.get("best_val", best_val))
 
     train_step = make_train_step(model, tx, tcfg)
     eval_step = make_eval_step(model, tcfg)
@@ -106,6 +119,7 @@ def fit(cfg: Config) -> Dict[str, Any]:
                          tcfg.profile_steps)
 
     last_metrics: Dict[str, float] = {}
+    last_saved = None                 # steps this run has checkpointed
     t_log = time.perf_counter()
     for step_i in range(start_step, tcfg.steps):
         batch = next(train_pipe)
@@ -143,16 +157,23 @@ def fit(cfg: Config) -> Dict[str, Any]:
                         f"eval metrics {sorted(em)}")
                 if v < best_val:
                     best_val = v
-                    best_ckpt.save(step1, state,
-                                   data_state=train_pipe.state_dict())
+                    if best_ckpt.latest_step() == step1:
+                        # resumed past an eval step already recorded as best
+                        best_ckpt.delete(step1)
+                    best_ckpt.save(
+                        step1, state,
+                        data_state={"best_val": float(v),
+                                    **train_pipe.state_dict()})
             t_log = time.perf_counter()   # don't bill eval to train throughput
 
         if tcfg.ckpt_every and step1 % tcfg.ckpt_every == 0:
             ckpt.save(step1, state, data_state=train_pipe.state_dict())
+            last_saved = step1
 
-    # final save (skip when resuming an already-completed run: the step
-    # exists and orbax refuses duplicates)
-    if ckpt.latest_step() != tcfg.steps:
+    # final save: skip when the cadence already saved this step (the save
+    # may still be async-in-flight -- a second save would collide) and when
+    # resuming an already-completed run (the step exists on disk).
+    if start_step < tcfg.steps and last_saved != tcfg.steps:
         ckpt.save(tcfg.steps, state, data_state=train_pipe.state_dict())
     ckpt.wait()
     if best_ckpt is not None:

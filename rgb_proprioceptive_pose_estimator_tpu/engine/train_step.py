@@ -24,16 +24,24 @@ from rgb_proprioceptive_pose_estimator_tpu.losses.pose import pose_loss, pose_me
 
 
 def make_lr_schedule(cfg: TrainConfig):
-    """The learning-rate schedule as a callable step -> lr (also used for
-    metric logging)."""
+    """The learning-rate schedule as a callable update-count -> lr (also
+    used for metric logging).
+
+    Schedules run in OPTIMIZER-UPDATE units: with grad_accum > 1,
+    optax.MultiSteps advances the inner step once per N micro-batches, so
+    warmup/decay horizons (configured in micro-steps, same units as
+    cfg.steps) are divided by grad_accum here."""
+    accum = max(cfg.grad_accum, 1)
+    warmup = cfg.warmup_steps // accum
+    total = cfg.steps // accum
     if cfg.lr_schedule == "cosine":
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=cfg.lr,
-            warmup_steps=max(cfg.warmup_steps, 1),
-            decay_steps=max(cfg.steps, cfg.warmup_steps + 1),
+            warmup_steps=max(warmup, 1),
+            decay_steps=max(total, warmup + 1),
         )
-    if cfg.warmup_steps > 0:
-        return optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    if warmup > 0:
+        return optax.linear_schedule(0.0, cfg.lr, warmup)
     return lambda step: cfg.lr
 
 

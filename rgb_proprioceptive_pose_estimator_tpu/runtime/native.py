@@ -26,18 +26,48 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _build_cmd() -> list:
+    # -march=native: the lib is compiled on first use on the host that
+    # runs it (the .buildinfo check below prevents a stale lib built on a
+    # different host/flags from being reused -- a foreign-ISA .so would
+    # SIGILL mid-training). Override flags with RPPE_NATIVE_CFLAGS.
+    flags = os.environ.get(
+        "RPPE_NATIVE_CFLAGS", "-O3 -march=native -funroll-loops").split()
+    return ["g++", *flags, "-std=c++17", "-shared", "-fPIC", "-pthread",
+            "-fvisibility=hidden", _SRC, "-o", _LIB]
+
+
+def _buildinfo() -> str:
+    import hashlib
+    import platform
+
+    with open(_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    return " ".join([src_hash, platform.node(), platform.machine(),
+                     *_build_cmd()])
+
+
+_INFO = _LIB + ".buildinfo"
+
+
 def build(force: bool = False) -> Optional[str]:
-    """Compile the shared library; returns its path or None on failure."""
-    if not force and os.path.exists(_LIB) and (
-            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
-        return _LIB
-    cmd = [
-        "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
-        "-shared", "-fPIC", "-pthread",
-        "-fvisibility=hidden", _SRC, "-o", _LIB,
-    ]
+    """Compile the shared library; returns its path or None on failure.
+
+    The cached .so is reused only when source hash, build flags, and host
+    all match the recorded .buildinfo."""
+    info = _buildinfo()
+    if not force and os.path.exists(_LIB) and os.path.exists(_INFO):
+        try:
+            with open(_INFO) as f:
+                if f.read() == info:
+                    return _LIB
+        except OSError:
+            pass
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        subprocess.run(_build_cmd(), check=True, capture_output=True,
+                       timeout=300)
+        with open(_INFO, "w") as f:
+            f.write(info)
         return _LIB
     except (OSError, subprocess.SubprocessError):
         return None

@@ -43,6 +43,20 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def delete(self, step: int) -> None:
+        self._mngr.delete(step)
+
+    def restore_data(self, step: Optional[int] = None
+                     ) -> Optional[Dict[str, Any]]:
+        """Restore only the JSON data payload (no array state)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None
+        restored = self._mngr.restore(
+            step, args=ocp.args.Composite(data=ocp.args.JsonRestore()))
+        return restored.get("data")
+
     def restore(self, state_template: TrainState, step: Optional[int] = None
                 ) -> Tuple[TrainState, Optional[Dict[str, Any]], int]:
         """Restore (state, data_state, step). `state_template` provides the

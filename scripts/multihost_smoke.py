@@ -22,12 +22,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-PORT = 29543
 NPROC = 2
 DEV_PER_PROC = 2
 
 
-def child(rank: int) -> None:
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def child(rank: int, port: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -36,7 +43,7 @@ def child(rank: int) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{PORT}",
+        coordinator_address=f"127.0.0.1:{port}",
         num_processes=NPROC,
         process_id=rank,
     )
@@ -82,9 +89,11 @@ def child(rank: int) -> None:
 
 
 def parent() -> int:
+    port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--rank", str(r)],
+            [sys.executable, os.path.abspath(__file__), "--rank", str(r),
+             "--port", str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for r in range(NPROC)
     ]
@@ -110,8 +119,9 @@ def parent() -> int:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--rank", type=int, default=-1)
+    ap.add_argument("--port", type=int, default=0)
     args = ap.parse_args()
     if args.rank >= 0:
-        child(args.rank)
+        child(args.rank, args.port)
     else:
         sys.exit(parent())

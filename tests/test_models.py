@@ -110,3 +110,31 @@ def test_eval_mode_is_deterministic_and_frozen():
     p1, q1 = model.apply(variables, batch, train=False)
     p2, q2 = model.apply(variables, batch, train=False)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_remat_forward_and_grad():
+    """model.remat=True: rematerialized residual blocks still produce
+    identical forward results, finite grads, and BN stat updates."""
+    kw = dict(backbone="resnet18", image_size=64, use_proprio=False,
+              image_features=32, head_hidden=(16,))
+    cfg_r = ModelConfig(remat=True, **kw)
+    cfg_n = ModelConfig(remat=False, **kw)
+    m_r, m_n = build_model(cfg_r), build_model(cfg_n)
+    batch = example_batch(cfg_r, batch_size=2)
+    variables = m_n.init(jax.random.PRNGKey(0), batch, train=False)
+
+    # same params apply to both; forward must agree exactly
+    p_n, _ = m_n.apply(variables, batch, train=False)
+    p_r, _ = m_r.apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(p_n), np.asarray(p_r),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss(params):
+        (pos, quat), mut = m_r.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True, mutable=["batch_stats"])
+        return jnp.sum(jnp.square(pos)) + jnp.sum(jnp.square(quat))
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree.leaves(g))
