@@ -78,6 +78,13 @@ class DataConfig:
     # augmentation (C2, BASELINE.json:5,10). Applied on host in uint8;
     # normalize happens on device fused into the model input stage.
     augment: bool = True
+    # fuse crop/flip/jitter INTO the jitted train step (BASELINE.json:5
+    # "fused host-to-device preprocessing stage"): the host only decodes +
+    # resizes to image_size + 2*crop_margin; the device does a fixed-size
+    # random crop over the margin + flip + jitter + normalize, all fused
+    # by XLA. Offloads weak hosts at the cost of slightly larger frames.
+    augment_device: bool = False
+    crop_margin: int = 8
     crop_scale: Tuple[float, float] = (0.8, 1.0)   # random resized crop area
     hflip_prob: float = 0.5
     jitter_brightness: float = 0.2

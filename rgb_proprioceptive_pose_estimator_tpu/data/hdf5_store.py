@@ -49,6 +49,10 @@ class HDF5DemoStore:
         split: str = "all",                    # "all" | "train" | "val"
         val_fraction: float = 0.0,             # held-out fraction, by demo
         split_seed: int = 0,
+        # device-side augmentation (data.augment_device): train batches are
+        # deterministically resized to this size (image_size + 2*margin);
+        # the random crop/flip/jitter happens inside the jitted train step
+        device_aug_hw: Optional[int] = None,
         crop_scale: Tuple[float, float] = (0.8, 1.0),
         hflip_prob: float = 0.5,
         jitter_brightness: float = 0.2,
@@ -65,6 +69,7 @@ class HDF5DemoStore:
         self.target_key = target_key
         self.use_proprio = use_proprio
         self.use_native = use_native
+        self.device_aug_hw = device_aug_hw
         self._aug_kwargs = dict(
             crop_scale=crop_scale, hflip_prob=hflip_prob,
             jitter_brightness=jitter_brightness,
@@ -198,6 +203,12 @@ class HDF5DemoStore:
         tf, hw, n = self.temporal_frames, self.image_size, len(indices)
         raws = [self._read_frames(demo, cam, ts)
                 for (demo, _), ts in zip(demo_t, ts_list)]
+
+        if augment and self.device_aug_hw is not None:
+            # device-side augmentation: host only resizes (deterministic);
+            # crop/flip/jitter happen inside the jitted train step
+            hw = self.device_aug_hw
+            augment = False
 
         params = None
         if augment:

@@ -66,6 +66,8 @@ def build_dataset(cfg: Config, split: str = "all"):
             target_key=d.target_key,
             use_proprio=m.use_proprio,
             use_native=d.use_native,
+            device_aug_hw=(m.image_size + 2 * d.crop_margin
+                           if d.augment_device and d.augment else None),
             crop_scale=d.crop_scale,
             hflip_prob=d.hflip_prob,
             jitter_brightness=d.jitter_brightness,

@@ -108,7 +108,19 @@ def fit(cfg: Config) -> Dict[str, Any]:
             if best_data is not None:
                 best_val = float(best_data.get("best_val", best_val))
 
-    train_step = make_train_step(model, tx, tcfg)
+    device_aug = None
+    if (cfg.data.augment_device and cfg.data.augment
+            and cfg.model.backbone != "none"):
+        device_aug = {
+            "cameras": cfg.model.cameras,
+            "out_hw": cfg.model.image_size,
+            "hflip_prob": cfg.data.hflip_prob,
+            "jitter_brightness": cfg.data.jitter_brightness,
+            "jitter_contrast": cfg.data.jitter_contrast,
+            "jitter_saturation": cfg.data.jitter_saturation,
+            "jitter_prob": cfg.data.jitter_prob,
+        }
+    train_step = make_train_step(model, tx, tcfg, device_aug=device_aug)
     eval_step = make_eval_step(model, tcfg)
     lr_schedule = make_lr_schedule(tcfg)
 

@@ -27,6 +27,7 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    rng: jax.Array                  # base PRNG key (device-side augment)
 
     def variables(self) -> Dict[str, Any]:
         return {"params": self.params, "batch_stats": self.batch_stats}
@@ -49,4 +50,5 @@ def create_state(cfg: Config, tx: optax.GradientTransformation,
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
+        rng=jax.random.PRNGKey(seed ^ 0xA46),
     )

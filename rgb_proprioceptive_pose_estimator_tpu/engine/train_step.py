@@ -12,7 +12,7 @@ shapes (the pipeline drops/pads partial batches) and donated state buffers.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,8 +67,14 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    cfg: TrainConfig) -> Callable:
-    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+                    cfg: TrainConfig,
+                    device_aug: Optional[Dict[str, Any]] = None) -> Callable:
+    """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    `device_aug` (from Config.data when data.augment_device is set) fuses
+    crop/flip/jitter into this step: dict with keys
+    {cameras, out_hw, hflip_prob, jitter_*} -- see
+    ops/image_augment_device.py."""
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -81,6 +87,13 @@ def make_train_step(model, tx: optax.GradientTransformation,
         return loss, (aux, mutated["batch_stats"])
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if device_aug is not None:
+            from rgb_proprioceptive_pose_estimator_tpu.ops.image_augment_device import (
+                augment_batch_images,
+            )
+
+            key = jax.random.fold_in(state.rng, state.step)
+            batch = augment_batch_images(key, batch, **device_aug)
         grad_fn = jax.grad(loss_fn, has_aux=True)
         grads, (aux, new_batch_stats) = grad_fn(
             state.params, state.batch_stats, batch)
@@ -91,6 +104,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
             params=new_params,
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
+            rng=state.rng,
         )
         metrics = dict(aux)
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -1,0 +1,106 @@
+"""On-device image augmentation, fused into the jitted train step.
+
+BASELINE.json:5's north star: "the image path (decode, resize,
+crop/flip/color-jitter, normalize) becomes a fused host-to-device
+preprocessing stage". With `data.augment_device=True` the host only
+decodes + resizes to `image_size + 2*crop_margin` (deterministic, so the
+RAM image cache can hold final-size arrays); random crop, horizontal
+flip, and color jitter run INSIDE the train step on uint8/compute-dtype
+tensors, where XLA fuses them with the normalize and the stem conv.
+
+Because XLA needs static shapes, the device-side crop is a fixed-size
+window at a random offset within the margin (pad-and-crop augmentation)
+rather than torchvision's variable-scale RandomResizedCrop -- the
+host-side backends keep the torchvision-style version.
+
+Temporal stacks share one draw per (sample, camera): same crop / flip /
+jitter across the T frames (matching the host pipeline's temporal
+consistency).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def device_augment(
+    key: jax.Array,
+    images: jax.Array,
+    out_hw: int,
+    hflip_prob: float = 0.5,
+    jitter_brightness: float = 0.2,
+    jitter_contrast: float = 0.2,
+    jitter_saturation: float = 0.2,
+    jitter_prob: float = 0.8,
+) -> jax.Array:
+    """(B, [T,] H, W, C) uint8 -> (B, [T,] out_hw, out_hw, C) float32.
+
+    H = W = out_hw + 2*margin; the crop offset is uniform over the margin.
+    Output is float32 in [0, 1] (the scale `normalize_images` expects for
+    float input; the per-channel normalize downstream fuses with it).
+    """
+    temporal = images.ndim == 5
+    if not temporal:
+        images = images[:, None]
+    b, t, h, w, c = images.shape
+    if h < out_hw or w < out_hw:
+        raise ValueError(f"source {h}x{w} smaller than crop {out_hw}")
+
+    k_oy, k_ox, k_flip, k_jon, k_b, k_c, k_s = jax.random.split(key, 7)
+    oy = jax.random.randint(k_oy, (b,), 0, h - out_hw + 1)
+    ox = jax.random.randint(k_ox, (b,), 0, w - out_hw + 1)
+
+    def crop_one(img, y0, x0):
+        return jax.lax.dynamic_slice(img, (0, y0, x0, 0), (t, out_hw, out_hw, c))
+
+    x = jax.vmap(crop_one)(images, oy, ox).astype(jnp.float32) * (1.0 / 255.0)
+
+    if hflip_prob > 0:
+        flip = jax.random.uniform(k_flip, (b, 1, 1, 1, 1)) < hflip_prob
+        x = jnp.where(flip, x[:, :, :, ::-1, :], x)
+
+    if jitter_prob > 0:
+        on = (jax.random.uniform(k_jon, (b, 1, 1, 1, 1))
+              < jitter_prob).astype(jnp.float32)
+
+        def factor(k, amount):
+            lo = max(0.0, 1.0 - amount)
+            f = jax.random.uniform(k, (b, 1, 1, 1, 1), minval=lo,
+                                   maxval=1.0 + amount)
+            return 1.0 + on * (f - 1.0)   # off -> exactly 1.0
+
+        if jitter_brightness > 0:
+            x = x * factor(k_b, jitter_brightness)
+        if jitter_contrast > 0:
+            m = jnp.mean(x, axis=(1, 2, 3, 4), keepdims=True)
+            x = m + (x - m) * factor(k_c, jitter_contrast)
+        if jitter_saturation > 0:
+            gray = (x[..., 0:1] * 0.299 + x[..., 1:2] * 0.587
+                    + x[..., 2:3] * 0.114)
+            x = gray + (x - gray) * factor(k_s, jitter_saturation)
+        x = jnp.clip(x, 0.0, 1.0)
+
+    if not temporal:
+        x = x[:, 0]
+    return x
+
+
+def augment_batch_images(
+    key: jax.Array,
+    batch: dict,
+    cameras: Sequence[str],
+    out_hw: int,
+    **kwargs,
+) -> dict:
+    """Apply device_augment to every camera (independent draws per camera,
+    matching the host backends); returns a new batch dict."""
+    images = dict(batch["images"])
+    for i, cam in enumerate(cameras):
+        images[cam] = device_augment(jax.random.fold_in(key, i),
+                                     images[cam], out_hw, **kwargs)
+    out = dict(batch)
+    out["images"] = images
+    return out

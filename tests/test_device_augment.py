@@ -1,0 +1,103 @@
+"""Device-side (in-step) augmentation: ops/image_augment_device.py and its
+end-to-end wiring (data.augment_device)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rgb_proprioceptive_pose_estimator_tpu as rppe
+from rgb_proprioceptive_pose_estimator_tpu.ops.image_augment_device import (
+    device_augment,
+)
+
+
+def _imgs(b=4, hw=40, t=0, seed=0):
+    rs = np.random.RandomState(seed)
+    shape = (b, hw, hw, 3) if t == 0 else (b, t, hw, hw, 3)
+    return jnp.asarray(rs.randint(0, 256, shape, np.uint8))
+
+
+def test_shapes_and_range():
+    out = device_augment(jax.random.PRNGKey(0), _imgs(hw=40), out_hw=32)
+    assert out.shape == (4, 32, 32, 3)
+    assert out.dtype == jnp.float32
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_deterministic_per_key_and_varies_across_keys():
+    imgs = _imgs(hw=40)
+    a = device_augment(jax.random.PRNGKey(1), imgs, 32)
+    b = device_augment(jax.random.PRNGKey(1), imgs, 32)
+    c = device_augment(jax.random.PRNGKey(2), imgs, 32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_no_margin_no_jitter_no_flip_is_identity():
+    imgs = _imgs(hw=32)
+    out = device_augment(jax.random.PRNGKey(0), imgs, 32, hflip_prob=0.0,
+                         jitter_prob=0.0)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(imgs, np.float32) / 255.0,
+                               atol=1e-6)
+
+
+def test_flip_prob_one_flips_everything():
+    imgs = _imgs(hw=32)
+    out = device_augment(jax.random.PRNGKey(0), imgs, 32, hflip_prob=1.0,
+                         jitter_prob=0.0)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(imgs, np.float32)[:, :, ::-1, :] / 255.0, atol=1e-6)
+
+
+def test_temporal_stack_shares_draws():
+    """All frames of one temporal stack get the same crop/flip/jitter."""
+    rs = np.random.RandomState(0)
+    one = rs.randint(0, 256, (2, 40, 40, 3), np.uint8)
+    stack = jnp.asarray(np.repeat(one[:, None], 3, axis=1))  # identical frames
+    out = device_augment(jax.random.PRNGKey(3), stack, 32, hflip_prob=1.0,
+                         jitter_prob=1.0)
+    assert out.shape == (2, 3, 32, 32, 3)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(out[:, 1]))
+    np.testing.assert_array_equal(np.asarray(out[:, 1]), np.asarray(out[:, 2]))
+
+
+def test_crops_stay_in_bounds_jit():
+    imgs = _imgs(b=16, hw=48)
+    f = jax.jit(lambda k, x: device_augment(k, x, 32, jitter_prob=0.0))
+    for i in range(3):
+        out = f(jax.random.PRNGKey(i), imgs)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_end_to_end_augment_device_training(tmp_path, demo_h5):
+    """data.augment_device=True: host ships larger deterministic frames,
+    the jitted step crops/flips/jitters + the model still learns."""
+    cfg = rppe.preset("pr2").override(**{
+        "model.backbone": "cnn_small",
+        "model.image_size": 64,
+        "model.image_features": 32,
+        "model.head_hidden": [32],
+        "model.use_proprio": False,
+        "data.path": demo_h5,
+        "data.batch_size": 16,
+        "data.num_workers": 2,
+        "data.augment_device": True,
+        "data.crop_margin": 4,
+        "data.hflip_prob": 0.0,        # flips break image->pose geometry
+        "train.steps": 60,
+        "train.lr": 3e-3,
+        "train.log_every": 30,
+        "train.eval_every": 60,
+        "train.eval_steps": 2,
+        "train.ckpt_every": 60,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+    })
+    out = rppe.train(cfg)
+    m = out["metrics"]
+    assert np.isfinite(m["loss"])
+    assert m["pos_loss"] < 0.05, m     # learning through the fused aug path
+    # eval path still uses image_size-sized deterministic inputs
+    assert "eval_pos_mae_cm" in m
