@@ -121,6 +121,13 @@ class HostPipeline:
 
     def _build(self, global_batch: int) -> Dict[str, Any]:
         idx = self._indices_for(global_batch)
+        if jax.process_count() > 1:
+            # multi-host: every process derives the SAME global index list
+            # (seeded sampler), then builds only its own contiguous slice;
+            # shard_batch assembles the global array from process-local data
+            per = self.batch_size // jax.process_count()
+            pid = jax.process_index()
+            idx = idx[pid * per:(pid + 1) * per]
         seed = (self.cfg.seed * 7_919 + global_batch) % (2 ** 31 - 1)
         return self.dataset.get_batch(idx, augment=self.augment, seed=seed)
 

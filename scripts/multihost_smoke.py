@@ -64,23 +64,29 @@ def child(rank: int, port: int) -> None:
     )
     from rgb_proprioceptive_pose_estimator_tpu.parallel import mesh as pmesh
 
-    cfg = preset("pr1").override(**{"data.batch_size": 8})
+    cfg = preset("pr1").override(**{"data.batch_size": 8,
+                                    "data.synthetic_size": 64,
+                                    "data.num_workers": 2})
     mesh = pmesh.make_mesh()           # all 4 global devices
     model = build_model(cfg.model)
     tx = make_optimizer(cfg.train)
     state = create_state(cfg, tx, seed=0)
     state = jax.device_put(state, pmesh.replicated_sharding(mesh))
 
-    # each process holds its LOCAL half of the global batch
-    global_batch = example_batch(cfg.model, batch_size=8, rng=0)
-    lo = rank * 4
-    local = jax.tree.map(lambda x: x[lo:lo + 4], global_batch)
-    batch = pmesh.shard_batch(local, pmesh.batch_sharding(mesh))
+    # the REAL pipeline in multi-process mode: every rank derives the same
+    # sampler stream and feeds only its local slice of each global batch
+    from rgb_proprioceptive_pose_estimator_tpu.data.pipeline import (
+        HostPipeline,
+        build_dataset,
+    )
 
+    pipe = HostPipeline(build_dataset(cfg), cfg.data,
+                        sharding=pmesh.batch_sharding(mesh), train=True)
     step = make_train_step(model, tx, cfg.train)
     for _ in range(3):
-        state, metrics = step(state, batch)
+        state, metrics = step(state, next(pipe))
     loss = float(jax.device_get(metrics["loss"]))
+    pipe.close()
     assert np.isfinite(loss)
     # params are replicated: every process sees identical values
     p0 = float(jax.device_get(jax.tree.leaves(state.params)[0]).ravel()[0])
