@@ -125,6 +125,10 @@ class HostPipeline:
             # multi-host: every process derives the SAME global index list
             # (seeded sampler), then builds only its own contiguous slice;
             # shard_batch assembles the global array from process-local data
+            if self.batch_size % jax.process_count() != 0:
+                raise ValueError(
+                    f"global batch {self.batch_size} not divisible by "
+                    f"{jax.process_count()} processes")
             per = self.batch_size // jax.process_count()
             pid = jax.process_index()
             idx = idx[pid * per:(pid + 1) * per]

@@ -97,7 +97,9 @@ def fit(cfg: Config) -> Dict[str, Any]:
                 f"train.resume='none' but {tcfg.ckpt_dir} already contains "
                 f"a checkpoint at step {ckpt.latest_step()}; use a fresh "
                 "ckpt_dir or resume='auto'")
-        state, data_state, start_step = ckpt.restore(state)
+        # resume: "auto" = latest; otherwise an explicit step number
+        resume_step = None if tcfg.resume == "auto" else int(tcfg.resume)
+        state, data_state, start_step = ckpt.restore(state, step=resume_step)
         if data_state is not None:
             train_pipe.load_state_dict(data_state)
         state = jax.device_put(state, rsh)

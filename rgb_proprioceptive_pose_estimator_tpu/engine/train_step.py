@@ -32,8 +32,10 @@ def make_lr_schedule(cfg: TrainConfig):
     warmup/decay horizons (configured in micro-steps, same units as
     cfg.steps) are divided by grad_accum here."""
     accum = max(cfg.grad_accum, 1)
-    warmup = cfg.warmup_steps // accum
-    total = cfg.steps // accum
+    # ceil: a configured warmup must survive accumulation (warmup_steps <
+    # grad_accum would otherwise silently disable it)
+    warmup = -(-cfg.warmup_steps // accum) if cfg.warmup_steps > 0 else 0
+    total = max(cfg.steps // accum, 1)
     if cfg.lr_schedule == "cosine":
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=cfg.lr,

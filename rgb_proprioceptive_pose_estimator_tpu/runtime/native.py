@@ -37,14 +37,27 @@ def _build_cmd() -> list:
             "-fvisibility=hidden", _SRC, "-o", _LIB]
 
 
+def _cpu_id() -> str:
+    """CPU model identifier -- the thing -march=native actually keys on
+    (hostnames churn in containers; machine() misses ISA differences)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "Processor")):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    import platform
+
+    return platform.processor() or platform.machine()
+
+
 def _buildinfo() -> str:
     import hashlib
-    import platform
 
     with open(_SRC, "rb") as f:
         src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
-    return " ".join([src_hash, platform.node(), platform.machine(),
-                     *_build_cmd()])
+    return " ".join([src_hash, _cpu_id(), *_build_cmd()])
 
 
 _INFO = _LIB + ".buildinfo"

@@ -58,10 +58,7 @@ def child(rank: int, port: int) -> None:
         make_optimizer,
         make_train_step,
     )
-    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
-        build_model,
-        example_batch,
-    )
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import build_model
     from rgb_proprioceptive_pose_estimator_tpu.parallel import mesh as pmesh
 
     cfg = preset("pr1").override(**{"data.batch_size": 8,

@@ -84,3 +84,13 @@ def test_rerun_completed_config_is_noop(tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(first["state"].params)),
                     jax.tree.leaves(jax.device_get(again["state"].params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_explicit_step(tmp_path):
+    """train.resume='<step>' restores that exact step, not the latest."""
+    cfg = _base(tmp_path, "explicit", 30, 10)   # ckpts at 10, 20, 30
+    rppe.train(cfg)
+    cont = cfg.override(**{"train.steps": 20, "train.resume": "20"})
+    out = rppe.train(cont)   # start_step == steps -> loop skipped
+    assert int(out["state"].step) == 20, (
+        "explicit-step resume must not restore the latest checkpoint")
