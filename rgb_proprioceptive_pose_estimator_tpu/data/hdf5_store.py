@@ -77,6 +77,11 @@ class HDF5DemoStore:
             jitter_saturation=jitter_saturation, jitter_prob=jitter_prob,
         )
         self._local = threading.local()
+        # memoized deterministic resizes per (demo, cam, hw) -- serves the
+        # eval transform and the device-aug train path (both deterministic),
+        # so each frame is resized once per size instead of once per epoch
+        self._resized_cache: Dict[Tuple[int, str, int], np.ndarray] = {}
+        self._resized_lock = threading.Lock()
 
         # Build the flat (demo, t) index + cache small tensors.
         self._proprio: List[np.ndarray] = []
@@ -151,6 +156,35 @@ class HDF5DemoStore:
         uniq, inv = np.unique(ts, return_inverse=True)
         return np.asarray(ds[uniq])[inv]
 
+    def _resized_demo(self, demo: int, cam: str, hw: int) -> Optional[np.ndarray]:
+        """All frames of a demo center-crop-resized to hw, memoized.
+        Only active when raw images are RAM-cached (otherwise memoizing
+        whole demos would defeat the point of not caching)."""
+        if self._image_cache is None:
+            return None
+        key = (demo, cam, hw)
+        out = self._resized_cache.get(key)
+        if out is not None:
+            return out
+        raw = self._image_cache[(demo, cam)]
+        with self._resized_lock:
+            out = self._resized_cache.get(key)
+            if out is None:
+                try:
+                    from rgb_proprioceptive_pose_estimator_tpu.runtime import (
+                        native as native_mod,
+                    )
+
+                    if self.use_native and native_mod.available():
+                        out = native_mod.center_crop_resize_batch(raw, hw)
+                    else:
+                        raise RuntimeError
+                except RuntimeError:
+                    out = np.stack(
+                        [aug.center_crop_resize(fr, hw) for fr in raw])
+                self._resized_cache[key] = out
+        return out
+
     def __len__(self) -> int:
         return len(self._index)
 
@@ -201,14 +235,22 @@ class HDF5DemoStore:
         independent draws. Pixel work runs on the native C++ engine when
         built, else the numpy backend -- identical parameters either way."""
         tf, hw, n = self.temporal_frames, self.image_size, len(indices)
-        raws = [self._read_frames(demo, cam, ts)
-                for (demo, _), ts in zip(demo_t, ts_list)]
 
         if augment and self.device_aug_hw is not None:
             # device-side augmentation: host only resizes (deterministic);
             # crop/flip/jitter happen inside the jitted train step
             hw = self.device_aug_hw
             augment = False
+
+        if not augment and self._image_cache is not None:
+            # deterministic transform: serve from the memoized resized cache
+            out = np.empty((n, tf, hw, hw, 3), dtype=np.uint8)
+            for bi, ((demo, _), ts) in enumerate(zip(demo_t, ts_list)):
+                out[bi] = self._resized_demo(demo, cam, hw)[ts]
+            return out[:, 0] if tf == 1 else out
+
+        raws = [self._read_frames(demo, cam, ts)
+                for (demo, _), ts in zip(demo_t, ts_list)]
 
         params = None
         if augment:
