@@ -106,6 +106,17 @@ class HDF5DemoStore:
                         f"{val_fraction}, {len(val_set)} val demos)")
             for di, dk in enumerate(demos):
                 g = f["data"][dk]
+                for key in [self.target_key] + (
+                        [self.proprio_key] if use_proprio else []) + [
+                        self.image_key_format.format(camera=c)
+                        for c in self.cameras]:
+                    if key not in g:
+                        have = list(g.get("obs", g).keys())
+                        raise KeyError(
+                            f"{path}: demo {dk!r} has no dataset {key!r}; "
+                            f"available obs keys: {have}. Adjust "
+                            "data.image_key_format / proprio_key / "
+                            "target_key (see docs/DATA_FORMAT.md)")
                 tgt = np.asarray(g[self.target_key], dtype=np.float32)
                 steps = tgt.shape[0]
                 self._demo_keys.append(dk)

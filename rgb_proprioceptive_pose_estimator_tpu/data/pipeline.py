@@ -202,11 +202,19 @@ class HostPipeline:
 
     # -- checkpointable state ---------------------------------------------------
 
+    STATE_FORMAT = 1   # bump + migrate on incompatible sampler changes
+
     def state_dict(self) -> Dict[str, Any]:
-        return {"consumed": int(self._consumed), "seed": int(self.cfg.seed),
+        return {"format": self.STATE_FORMAT, "consumed": int(self._consumed),
+                "seed": int(self.cfg.seed),
                 "batch_size": int(self.batch_size)}
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
+        fmt = int(state.get("format", 1))
+        if fmt != self.STATE_FORMAT:
+            raise ValueError(
+                f"checkpoint iterator state format {fmt} != supported "
+                f"{self.STATE_FORMAT}")
         if int(state.get("batch_size", self.batch_size)) != self.batch_size:
             raise ValueError("cannot resume with a different batch size")
         self._consumed = int(state["consumed"])

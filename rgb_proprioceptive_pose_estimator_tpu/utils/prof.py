@@ -12,6 +12,12 @@ from __future__ import annotations
 import jax
 
 
+def start_profiler_server(port: int = 9999) -> None:
+    """Live-capture endpoint (tensorboard 'capture profile' against
+    localhost:port); optional, SURVEY.md section 6.1."""
+    jax.profiler.start_server(port)
+
+
 class TraceWindow:
     """Start/stop a jax.profiler trace over a step interval."""
 

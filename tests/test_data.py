@@ -180,3 +180,11 @@ def test_build_dataset_hdf5(demo_h5):
     )
     ds = build_dataset(cfg)
     assert len(ds) == 60
+
+
+def test_hdf5_missing_key_error_is_helpful(demo_h5):
+    with pytest.raises(KeyError, match="available obs keys"):
+        HDF5DemoStore(demo_h5, cameras=("no_such_cam",), image_size=64)
+    with pytest.raises(KeyError, match="target_key"):
+        HDF5DemoStore(demo_h5, cameras=("agentview",), image_size=64,
+                      target_key="obs/not_there")
