@@ -1,0 +1,77 @@
+"""Coverage for the observability utilities (metrics logger, trace window,
+CLI config-file loading)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgb_proprioceptive_pose_estimator_tpu.cli import main
+from rgb_proprioceptive_pose_estimator_tpu.config import preset
+from rgb_proprioceptive_pose_estimator_tpu.utils.metrics import (
+    MetricsLogger,
+    StepTimer,
+)
+from rgb_proprioceptive_pose_estimator_tpu.utils.prof import TraceWindow
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(path)
+    log.log(1, {"loss": jnp.asarray(0.5), "note": "warmup"}, prefix="train/")
+    log.log(2, {"loss": 0.25})
+    log.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["step"] == 1
+    assert lines[0]["train/loss"] == 0.5
+    assert lines[0]["train/note"] == "warmup"
+    assert lines[1]["loss"] == 0.25
+    assert "ts" in lines[1]
+
+
+def test_metrics_logger_disabled_is_noop():
+    log = MetricsLogger("")        # no path, no tensorboard
+    log.log(1, {"loss": 1.0})      # must not raise
+    log.close()
+
+
+def test_step_timer_laps():
+    t = StepTimer()
+    assert t.lap() == 0.0
+    assert t.lap() >= 0.0
+
+
+def test_trace_window_lifecycle(tmp_path):
+    trace_dir = str(tmp_path / "trace")
+    w = TraceWindow(trace_dir, start_step=2, num_steps=2)
+    x = jnp.ones((4,))
+    for step in range(1, 6):
+        x = x * 2
+        w.on_step(step, sync=x)
+    w.close(sync=x)
+    assert w._done and not w._active
+    # a capture directory was produced
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found.extend(files)
+    assert found, "profiler trace produced no files"
+
+
+def test_trace_window_disabled():
+    w = TraceWindow("", 1, 1)
+    w.on_step(1)
+    w.close()
+    assert not w._active
+
+
+def test_cli_config_file_roundtrip(tmp_path, capsys):
+    cfg = preset("pr3").override(**{"train.lr": 0.0123})
+    path = tmp_path / "cfg.json"
+    path.write_text(cfg.to_json())
+    assert main(["config", "--config", str(path)]) == 0
+    loaded = json.loads(capsys.readouterr().out)
+    assert loaded["train"]["lr"] == 0.0123
+    assert loaded["model"]["backbone"] == "resnet18"
