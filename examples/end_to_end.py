@@ -76,6 +76,23 @@ def main():
     pos, quat = pred(buf.push(obs))
     print("predicted pose:", np.round(pos, 3), np.round(quat, 3))
 
+    # 5. export for serving: one self-contained StableHLO artifact
+    from rgb_proprioceptive_pose_estimator_tpu.utils.export import (
+        export_predictor,
+        load_predictor,
+    )
+
+    artifact = export_predictor(os.path.join(workdir, "pose.rppe"), cfg,
+                                max_batch=4)
+    serve = load_predictor(artifact)
+    batch = {k: (np.asarray(v)[None] if not isinstance(v, dict)
+                 else {c: np.asarray(i)[None] for c, i in v.items()})
+             for k, v in obs.items()}
+    spos, squat = serve(batch)
+    print(f"served from {os.path.basename(artifact)}:",
+          np.round(spos[0], 3), "(matches:",
+          bool(np.allclose(spos[0], pos, atol=1e-5)), ")")
+
 
 if __name__ == "__main__":
     main()
