@@ -44,7 +44,9 @@ def pose_loss(
     target_pos = target_pos.astype(jnp.float32)
     target_quat = pose_math.quat_normalize(target_quat.astype(jnp.float32))
 
-    pos_l = jnp.mean(jnp.sum(jnp.square(pred_pos - target_pos), axis=-1))
+    # true MSE (mean over coordinates too, torch nn.MSELoss convention --
+    # a coordinate SUM would weight position 3x relative to rotation)
+    pos_l = jnp.mean(jnp.square(pred_pos - target_pos))
     if rot_loss == "chordal":
         rot_l = jnp.mean(pose_math.quat_chordal_distance(pred_quat, target_quat))
     elif rot_loss == "geodesic":
@@ -72,7 +74,10 @@ def pose_metrics(
     target_quat = pose_math.quat_normalize(target_quat.astype(jnp.float32))
 
     pos_err_m = jnp.linalg.norm(pred_pos - target_pos, axis=-1)
-    ang_rad = pose_math.quat_geodesic_angle(pred_quat, target_quat)
+    # no gradient here: report true zeros (grad_safe clip would floor the
+    # metric at 0.16 deg)
+    ang_rad = pose_math.quat_geodesic_angle(pred_quat, target_quat,
+                                            grad_safe=False)
     return {
         "pos_mae_cm": jnp.mean(pos_err_m) * 100.0,
         "rot_mae_deg": jnp.mean(ang_rad) * (180.0 / jnp.pi),

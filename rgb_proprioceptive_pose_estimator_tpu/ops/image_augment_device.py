@@ -75,9 +75,12 @@ def device_augment(
         if jitter_brightness > 0:
             x = x * factor(k_b, jitter_brightness)
         if jitter_contrast > 0:
-            m = jnp.mean(x, axis=(1, 2, 3, 4), keepdims=True)
+            # per-frame mean (host backend convention): shared factor,
+            # per-frame anchor
+            m = jnp.mean(x, axis=(2, 3, 4), keepdims=True)
             x = m + (x - m) * factor(k_c, jitter_contrast)
-        if jitter_saturation > 0:
+        if jitter_saturation > 0 and c == 3:
+            # RGB only; non-3-channel cameras skip saturation
             gray = (x[..., 0:1] * 0.299 + x[..., 1:2] * 0.587
                     + x[..., 2:3] * 0.114)
             x = gray + (x - gray) * factor(k_s, jitter_saturation)

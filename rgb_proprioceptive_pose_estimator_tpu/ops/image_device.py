@@ -31,6 +31,9 @@ def normalize_images(
     `mean`/`std` are per-channel in [0,1] units (imagenet convention).
     """
     c = images.shape[-1]
+    if len(mean) != len(std):
+        raise ValueError(
+            f"mean ({len(mean)}) and std ({len(std)}) lengths differ")
     nch = len(mean)
     # temporal channel-stacking replicates channels T times; tile stats to match
     if c != nch:
@@ -42,10 +45,13 @@ def normalize_images(
 
     if use_pallas and images.dtype == jnp.uint8:
         from rgb_proprioceptive_pose_estimator_tpu.ops.pallas_fused import (
+            normalize_u8_supported,
             pallas_normalize_u8,
         )
 
-        return pallas_normalize_u8(images, mean, std, dtype)
+        if normalize_u8_supported(images.shape):
+            return pallas_normalize_u8(images, mean, std, dtype)
+        # unsupported tiling: fall through to the (single) XLA path below
 
     m = jnp.asarray(mean, dtype=jnp.float32)
     s = jnp.asarray(std, dtype=jnp.float32)

@@ -46,6 +46,14 @@ def _normalize_kernel(x_ref, scale_ref, shift_ref, o_ref):
     o_ref[:] = (x * scale_ref[:] + shift_ref[:]).astype(o_ref.dtype)
 
 
+def normalize_u8_supported(shape: Tuple[int, ...]) -> bool:
+    """True if pallas_normalize_u8 handles this image shape (the flattened
+    element count must tile into LANE = lcm(C, 128) columns)."""
+    c = shape[-1]
+    lane = (c * 128) // math.gcd(c, 128)
+    return math.prod(shape) % lane == 0
+
+
 def pallas_normalize_u8(
     images: jax.Array,
     mean: Sequence[float],
@@ -58,22 +66,21 @@ def pallas_normalize_u8(
     per-channel constants become a periodic LANE-vector broadcast down the
     sublane axis -- this sidesteps the C=3 lane-tiling problem (TPU lane
     dim wants multiples of 128; see pallas_guide 'Tiling Constraints').
+
+    Raises on unsupported shapes; callers (image_device.normalize_images)
+    check `normalize_u8_supported` and keep the single XLA fallback there.
     """
     if images.dtype != jnp.uint8:
         raise ValueError("pallas_normalize_u8 expects uint8 input")
     c = images.shape[-1]
     if len(mean) != c:
         raise ValueError("stats length must equal channel dim")
+    if not normalize_u8_supported(images.shape):
+        raise ValueError(f"shape {images.shape} does not tile into "
+                         "lcm(C,128) lanes; use the XLA path")
 
     total = math.prod(images.shape)
     lane = (c * 128) // math.gcd(c, 128)
-    if total % lane != 0:
-        # odd shapes: fall back to plain XLA
-        m = jnp.asarray(mean, jnp.float32)
-        s = jnp.asarray(std, jnp.float32)
-        x = images.astype(jnp.float32) * (1.0 / 255.0)
-        return ((x - m) / s).astype(dtype)
-
     rows = total // lane
     reps = lane // c
     # x_norm = u8 * (1/(255*std)) + (-mean/std), tiled to the LANE period

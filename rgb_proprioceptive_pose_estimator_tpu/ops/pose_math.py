@@ -79,13 +79,18 @@ def quat_abs_dot(q1: jax.Array, q2: jax.Array) -> jax.Array:
     return jnp.abs(jnp.sum(q1 * q2, axis=-1))
 
 
-def quat_geodesic_angle(q1: jax.Array, q2: jax.Array) -> jax.Array:
+def quat_geodesic_angle(q1: jax.Array, q2: jax.Array,
+                        grad_safe: bool = True) -> jax.Array:
     """Geodesic rotation angle in radians: 2*arccos(|<q1,q2>|) in [0, pi].
 
-    Inputs must be unit quaternions. Clipped away from |dot|=1 so the
-    gradient stays finite (SURVEY.md section 8 hard-part 3).
+    Inputs must be unit quaternions. With grad_safe (the default, for use
+    in losses) the dot is clipped away from 1 so arccos' gradient stays
+    finite (SURVEY.md section 8 hard-part 3) -- this floors the angle at
+    ~2.8e-3 rad (0.16 deg). Metrics, which take no gradient, should pass
+    grad_safe=False to report true zeros.
     """
-    d = jnp.clip(quat_abs_dot(q1, q2), 0.0, _ACOS_CLIP)
+    hi = _ACOS_CLIP if grad_safe else 1.0
+    d = jnp.clip(quat_abs_dot(q1, q2), 0.0, hi)
     return 2.0 * jnp.arccos(d)
 
 
