@@ -180,13 +180,18 @@ class HostPipeline:
         self._consumed += 1
         return self._device_q.popleft()
 
-    def epoch(self) -> Iterator:
-        """One deterministic pass over the dataset (evaluation)."""
+    def epoch(self, max_batches: int = 0) -> Iterator:
+        """One deterministic pass over the dataset (evaluation), optionally
+        capped at max_batches. The cap bounds SCHEDULING too -- breaking out
+        of an uncapped generator would leave in-flight builds running and
+        prefetched device batches pinned."""
         if self.train:
             raise RuntimeError(
                 "epoch() is for eval pipelines (train=False); a training "
                 "pipeline's sampler state would be corrupted")
         limit = self.batches_per_epoch
+        if max_batches:
+            limit = min(limit, max_batches)
         self._reset()
         for _ in range(limit):
             self._fill_device_q(limit)

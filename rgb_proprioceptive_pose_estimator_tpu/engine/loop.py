@@ -41,9 +41,7 @@ def evaluate_pipeline(eval_step, state: TrainState, pipeline: HostPipeline,
     """Average eval metrics over (up to) one epoch (SURVEY.md section 4.2)."""
     sums: Dict[str, float] = {}
     n = 0
-    for i, batch in enumerate(pipeline.epoch()):
-        if max_batches and i >= max_batches:
-            break
+    for batch in pipeline.epoch(max_batches=max_batches):
         m = jax.device_get(eval_step(state, batch))
         for k, v in m.items():
             sums[k] = sums.get(k, 0.0) + float(v)
@@ -79,8 +77,12 @@ def fit(cfg: Config) -> Dict[str, Any]:
     # eval batch shrinks to the held-out split if it is small (still a
     # multiple of the device count for sharding)
     eval_bs = min(cfg.data.batch_size, (len(eval_ds) // n_dev) * n_dev)
+    if eval_bs == 0:
+        raise ValueError(
+            f"val split has {len(eval_ds)} samples < {n_dev} devices; "
+            "increase data.val_fraction or reduce dist.num_devices")
     eval_pipe = HostPipeline(eval_ds, cfg.data, sharding=bsh, train=False,
-                             batch_size=max(eval_bs, n_dev))
+                             batch_size=eval_bs)
 
     ckpt = CheckpointManager(tcfg.ckpt_dir, keep=tcfg.ckpt_keep)
     best_ckpt = None
@@ -88,6 +90,15 @@ def fit(cfg: Config) -> Dict[str, Any]:
     if tcfg.ckpt_best_metric:
         # separate keep-1 manager so "latest" resume semantics stay intact
         best_ckpt = CheckpointManager(f"{tcfg.ckpt_dir}/best", keep=1)
+    if tcfg.ckpt_best_metric and not tcfg.eval_every:
+        raise ValueError(
+            "train.ckpt_best_metric requires train.eval_every > 0 "
+            "(best tracking selects on eval metrics)")
+    if tcfg.resume not in ("auto", "none") and ckpt.latest_step() is None:
+        raise FileNotFoundError(
+            f"train.resume={tcfg.resume!r} but {tcfg.ckpt_dir} contains no "
+            "checkpoint")
+
     start_step = 0
     if ckpt.latest_step() is not None:
         if tcfg.resume == "none":
@@ -134,6 +145,7 @@ def fit(cfg: Config) -> Dict[str, Any]:
 
     last_metrics: Dict[str, float] = {}
     last_saved = None                 # steps this run has checkpointed
+    log_anchor = start_step           # step at which t_log was last reset
     t_log = time.perf_counter()
     for step_i in range(start_step, tcfg.steps):
         batch = next(train_pipe)
@@ -146,7 +158,8 @@ def fit(cfg: Config) -> Dict[str, Any]:
             now = time.perf_counter()
             dt = now - t_log
             t_log = now
-            steps_done = min(tcfg.log_every, step1 - start_step) or 1
+            steps_done = max(step1 - log_anchor, 1)
+            log_anchor = step1
             imgs = cfg.data.batch_size * steps_done
             last_metrics = {k: float(v) for k, v in m.items()}
             last_metrics.update({
@@ -178,7 +191,9 @@ def fit(cfg: Config) -> Dict[str, Any]:
                         step1, state,
                         data_state={"best_val": float(v),
                                     **train_pipe.state_dict()})
-            t_log = time.perf_counter()   # don't bill eval to train throughput
+            # don't bill eval time to train throughput
+            t_log = time.perf_counter()
+            log_anchor = step1
 
         if tcfg.ckpt_every and step1 % tcfg.ckpt_every == 0:
             ckpt.save(step1, state, data_state=train_pipe.state_dict())

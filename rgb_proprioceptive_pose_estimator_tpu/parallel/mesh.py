@@ -43,6 +43,14 @@ def make_mesh(num_devices: int = 0, axis: str = DATA_AXIS,
     jax.devices() enumerates in physical torus order."""
     devs = list(devices if devices is not None else jax.devices())
     if num_devices:
+        if jax.process_count() > 1:
+            # slicing the global device list would strip some processes of
+            # all their devices while they still participate in the run
+            raise ValueError(
+                "dist.num_devices is single-process only; under multihost "
+                "the mesh must span all global devices (got "
+                f"num_devices={num_devices}, processes="
+                f"{jax.process_count()})")
         if num_devices > len(devs):
             raise ValueError(
                 f"requested {num_devices} devices, have {len(devs)}")

@@ -66,13 +66,12 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
-        restored = self._mngr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract),
-                data=ocp.args.JsonRestore(),
-            ),
-        )
+        args = {"state": ocp.args.StandardRestore(abstract)}
+        # checkpoints saved via save(step, state) without data_state have no
+        # 'data' item; requesting it unconditionally makes restore fail
+        if "data" in (self._mngr.item_metadata(step) or {}):
+            args["data"] = ocp.args.JsonRestore()
+        restored = self._mngr.restore(step, args=ocp.args.Composite(**args))
         data_state = restored.get("data") if hasattr(restored, "get") else None
         return restored["state"], data_state, step
 

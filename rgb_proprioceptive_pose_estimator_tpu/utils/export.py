@@ -66,6 +66,9 @@ def export_predictor(path: str, cfg: Config, state=None,
             k: (sorted(v.keys()) if isinstance(v, dict) else None)
             for k, v in batch.items()
         },
+        # exported input dtypes (same tree structure as the batch) so the
+        # serving wrapper can cast lists / float64 robot-stack inputs
+        "dtypes": jax.tree.map(lambda x: str(np.asarray(x).dtype), batch),
     }
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("meta.json", json.dumps(meta, indent=2))
@@ -86,22 +89,30 @@ def load_predictor(path: str) -> Callable[[Dict[str, Any]],
         exported = jexport.deserialize(z.read("model.stablehlo"))
     max_batch = int(meta["max_batch"])
 
-    def fn(batch: Dict[str, Any]) -> Tuple[np.ndarray, np.ndarray]:
-        def first_leaf(b):
-            return jax.tree.leaves(b)[0]
+    dtypes = meta.get("dtypes", {})
 
-        n = np.asarray(first_leaf(batch)).shape[0]
+    def _cast(b, d):
+        # recursive dict walk (not jax.tree.map: Python-list inputs must be
+        # treated as arrays, not as pytrees of scalars); casts to the
+        # exported dtype so lists / float64 robot-stack inputs just work
+        if isinstance(b, dict):
+            return {k: _cast(v, d.get(k) if isinstance(d, dict) else None)
+                    for k, v in b.items()}
+        return np.asarray(b, dtype=np.dtype(d) if isinstance(d, str) else None)
+
+    def fn(batch: Dict[str, Any]) -> Tuple[np.ndarray, np.ndarray]:
+        arrs = _cast(batch, dtypes)
+        n = jax.tree.leaves(arrs)[0].shape[0]
         if n > max_batch:
             raise ValueError(f"batch {n} > exported max_batch {max_batch}")
 
         def pad(x):
-            x = np.asarray(x)
             if x.shape[0] == max_batch:
                 return x
             reps = np.repeat(x[-1:], max_batch - x.shape[0], axis=0)
             return np.concatenate([x, reps], axis=0)
 
-        pos, quat = exported.call(jax.tree.map(pad, batch))
+        pos, quat = exported.call(jax.tree.map(pad, arrs))
         return (np.asarray(pos)[:n], np.asarray(quat)[:n])
 
     fn.meta = meta  # type: ignore[attr-defined]

@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 class MetricsLogger:
@@ -38,7 +38,9 @@ class MetricsLogger:
             try:
                 rec[key] = float(v)
             except (TypeError, ValueError):
-                rec[key] = v
+                # non-scalar (arrays etc.): stringify so the JSONL write
+                # can't crash the training loop
+                rec[key] = v if isinstance(v, (str, bool, type(None))) else str(v)
         if self._fh is not None:
             self._fh.write(json.dumps(rec) + "\n")
         if self._tb is not None:
@@ -57,15 +59,3 @@ class MetricsLogger:
             self._tb = None
 
 
-class StepTimer:
-    """Wall-clock step timer feeding the images/sec/chip metric
-    (BASELINE.json:2)."""
-
-    def __init__(self):
-        self._last: Optional[float] = None
-
-    def lap(self) -> float:
-        now = time.perf_counter()
-        dt = 0.0 if self._last is None else now - self._last
-        self._last = now
-        return dt

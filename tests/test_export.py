@@ -58,3 +58,16 @@ def test_export_rejects_oversize_and_bad_file(trained, tmp_path):
         z.writestr("meta.json", "{}")
     with pytest.raises((ValueError, KeyError)):
         load_predictor(str(bad))
+
+
+def test_serving_casts_list_and_float64_inputs(trained, tmp_path):
+    cfg = trained
+    path = export_predictor(str(tmp_path / "pose3.rppe"), cfg, max_batch=2)
+    serve = load_predictor(path)
+    d = cfg.model.proprio_dim
+    # python list input
+    pos, _ = serve({"proprio": [[0.1] * d]})
+    assert pos.shape == (1, 3)
+    # float64 input
+    pos64, _ = serve({"proprio": np.zeros((2, d), np.float64)})
+    assert pos64.shape == (2, 3)

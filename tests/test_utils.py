@@ -11,10 +11,7 @@ import pytest
 
 from rgb_proprioceptive_pose_estimator_tpu.cli import main
 from rgb_proprioceptive_pose_estimator_tpu.config import preset
-from rgb_proprioceptive_pose_estimator_tpu.utils.metrics import (
-    MetricsLogger,
-    StepTimer,
-)
+from rgb_proprioceptive_pose_estimator_tpu.utils.metrics import MetricsLogger
 from rgb_proprioceptive_pose_estimator_tpu.utils.prof import TraceWindow
 
 
@@ -36,12 +33,6 @@ def test_metrics_logger_disabled_is_noop():
     log = MetricsLogger("")        # no path, no tensorboard
     log.log(1, {"loss": 1.0})      # must not raise
     log.close()
-
-
-def test_step_timer_laps():
-    t = StepTimer()
-    assert t.lap() == 0.0
-    assert t.lap() >= 0.0
 
 
 def test_trace_window_lifecycle(tmp_path):
@@ -75,3 +66,12 @@ def test_cli_config_file_roundtrip(tmp_path, capsys):
     loaded = json.loads(capsys.readouterr().out)
     assert loaded["train"]["lr"] == 0.0123
     assert loaded["model"]["backbone"] == "resnet18"
+
+
+def test_metrics_logger_survives_nonscalar(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(path)
+    log.log(1, {"arr": np.ones(3), "ok": 1.0})   # must not raise
+    log.close()
+    rec = json.loads(open(path).read())
+    assert rec["ok"] == 1.0 and isinstance(rec["arr"], str)
