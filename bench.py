@@ -78,7 +78,7 @@ def main() -> None:
     # Synchronize by fetching a real value: device_get round-trips actual
     # bytes, which stays honest on proxy/tunnel backends where
     # block_until_ready can return before execution completes.
-    for i in range(args.warmup):
+    for i in range(max(args.warmup, 1)):   # >=1: compile outside the timer
         state, metrics = step(state, batches[i % 2])
     float(jax.device_get(metrics["loss"]))
 

@@ -72,7 +72,7 @@ def main(argv=None) -> int:
 
     if args.command == "train":
         out = rppe.train(cfg)
-        print(json.dumps({k: v for k, v in out["metrics"].items()}, indent=2))
+        print(json.dumps(out["metrics"], indent=2))
         return 0
 
     if args.command == "eval":

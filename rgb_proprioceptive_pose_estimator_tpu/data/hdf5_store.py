@@ -118,6 +118,11 @@ class HDF5DemoStore:
                             "data.image_key_format / proprio_key / "
                             "target_key (see docs/DATA_FORMAT.md)")
                 tgt = np.asarray(g[self.target_key], dtype=np.float32)
+                if tgt.ndim != 2 or tgt.shape[1] < 7:
+                    raise ValueError(
+                        f"{path}: {dk}/{self.target_key} has shape "
+                        f"{tgt.shape}; need (T, >=7) with [:3]=pos, "
+                        "[3:7]=quat (see docs/DATA_FORMAT.md)")
                 steps = tgt.shape[0]
                 self._demo_keys.append(dk)
                 self._pos.append(tgt[:, :3])
@@ -178,22 +183,19 @@ class HDF5DemoStore:
         if out is not None:
             return out
         raw = self._image_cache[(demo, cam)]
-        with self._resized_lock:
-            out = self._resized_cache.get(key)
-            if out is None:
-                try:
-                    from rgb_proprioceptive_pose_estimator_tpu.runtime import (
-                        native as native_mod,
-                    )
+        # compute OUTSIDE the lock (holding it for a whole-demo resize
+        # convoys every worker); worst case two threads resize the same
+        # demo once each -- idempotent, last write wins
+        from rgb_proprioceptive_pose_estimator_tpu.runtime import (
+            native as native_mod,
+        )
 
-                    if self.use_native and native_mod.available():
-                        out = native_mod.center_crop_resize_batch(raw, hw)
-                    else:
-                        raise RuntimeError
-                except RuntimeError:
-                    out = np.stack(
-                        [aug.center_crop_resize(fr, hw) for fr in raw])
-                self._resized_cache[key] = out
+        if self.use_native and native_mod.available():
+            out = native_mod.center_crop_resize_batch(raw, hw)
+        else:
+            out = np.stack([aug.center_crop_resize(fr, hw) for fr in raw])
+        with self._resized_lock:
+            self._resized_cache[key] = out
         return out
 
     def __len__(self) -> int:
@@ -275,7 +277,9 @@ class HDF5DemoStore:
                                                     **self._aug_kwargs))
 
         native = None
-        if self.use_native:
+        if self.use_native and len({r.shape for r in raws}) == 1:
+            # heterogeneous source sizes fall back to the per-image numpy
+            # path (the batch engine wants one contiguous array)
             from rgb_proprioceptive_pose_estimator_tpu.runtime import (
                 native as native_mod,
             )

@@ -96,6 +96,7 @@ class HostPipeline:
 
         self._consumed = 0            # global batch counter (checkpoint state)
         self._scheduled = 0
+        self._perm_cache: Dict[int, np.ndarray] = {}
         self._pool: Optional[ThreadPoolExecutor] = None
         if cfg.num_workers > 0:
             self._pool = ThreadPoolExecutor(
@@ -108,14 +109,29 @@ class HostPipeline:
 
     # -- sampler -------------------------------------------------------------
 
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        """Per-epoch permutation, memoized (recomputing an O(dataset)
+        shuffle per batch per worker burns a core at high batch rates).
+        Dict ops are atomic under the GIL; worst case two threads compute
+        the same (identical) permutation once."""
+        perm = self._perm_cache.get(epoch)
+        if perm is None:
+            if self.train and self.cfg.shuffle:
+                perm = np.random.RandomState(
+                    (self.cfg.seed + epoch) % (2 ** 31 - 1)
+                ).permutation(len(self.dataset))
+            else:
+                perm = np.arange(len(self.dataset))
+            # keep only a couple of epochs (in-flight batches straddle at
+            # most two)
+            self._perm_cache = {k: v for k, v in self._perm_cache.items()
+                                if k >= epoch - 1}
+            self._perm_cache[epoch] = perm
+        return perm
+
     def _indices_for(self, global_batch: int) -> np.ndarray:
         epoch, pos = divmod(global_batch, self.batches_per_epoch)
-        if self.train and self.cfg.shuffle:
-            perm = np.random.RandomState(
-                (self.cfg.seed + epoch) % (2 ** 31 - 1)
-            ).permutation(len(self.dataset))
-        else:
-            perm = np.arange(len(self.dataset))
+        perm = self._epoch_perm(epoch)
         lo = pos * self.batch_size
         return perm[lo:lo + self.batch_size]
 
@@ -193,10 +209,14 @@ class HostPipeline:
         if max_batches:
             limit = min(limit, max_batches)
         self._reset()
-        for _ in range(limit):
-            self._fill_device_q(limit)
-            yield self._device_q.popleft()
-        self._reset()
+        try:
+            for _ in range(limit):
+                self._fill_device_q(limit)
+                yield self._device_q.popleft()
+        finally:
+            # also covers exceptions / abandoned generators: cancel
+            # in-flight builds and release prefetched device batches
+            self._reset()
 
     def _reset(self) -> None:
         for f in self._inflight:
@@ -222,6 +242,12 @@ class HostPipeline:
                 f"{self.STATE_FORMAT}")
         if int(state.get("batch_size", self.batch_size)) != self.batch_size:
             raise ValueError("cannot resume with a different batch size")
+        saved_seed = int(state.get("seed", self.cfg.seed))
+        if saved_seed != self.cfg.seed:
+            raise ValueError(
+                f"cannot resume: checkpoint sampler seed {saved_seed} != "
+                f"config data.seed {self.cfg.seed} (the consumed-batch "
+                "counter only makes sense within one permutation stream)")
         self._consumed = int(state["consumed"])
         self._reset()
 

@@ -231,25 +231,25 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
     const float rb = fb > 0 ? fb : 1.0f;
     const float rc = fc > 0 ? fc : 1.0f;
     const float rs = fs > 0 ? fs : 1.0f;
+    const float m = mean * rb;  // contrast anchor on brightness-scaled mean
+    const bool saturate = fs > 0 && c == 3;  // luma is RGB-only
     for (int oy = 0; oy < oh; ++oy) {
       for (int ox = 0; ox < ow; ++ox) {
         float* px = &stage[((size_t)oy * ow + ox) * c];
-        // brightness
-        float v0 = px[0] * rb, v1 = px[1] * rb, v2 = px[2] * rb;
-        // contrast about the (brightness-scaled) mean
-        float m = mean * rb;
-        v0 = m + (v0 - m) * rc;
-        v1 = m + (v1 - m) * rc;
-        v2 = m + (v2 - m) * rc;
-        // saturation about per-pixel luma
-        float gray = 0.299f * v0 + 0.587f * v1 + 0.114f * v2;
-        v0 = gray + (v0 - gray) * rs;
-        v1 = gray + (v1 - gray) * rs;
-        v2 = gray + (v2 - gray) * rs;
         uint8_t* d = dst + ((size_t)oy * ow + ox) * c;
-        d[0] = TruncClamp8(v0);
-        d[1] = TruncClamp8(v1);
-        d[2] = TruncClamp8(v2);
+        if (saturate) {
+          float v0 = m + (px[0] * rb - m) * rc;
+          float v1 = m + (px[1] * rb - m) * rc;
+          float v2 = m + (px[2] * rb - m) * rc;
+          float gray = 0.299f * v0 + 0.587f * v1 + 0.114f * v2;
+          d[0] = TruncClamp8(gray + (v0 - gray) * rs);
+          d[1] = TruncClamp8(gray + (v1 - gray) * rs);
+          d[2] = TruncClamp8(gray + (v2 - gray) * rs);
+        } else {
+          for (int ch = 0; ch < c; ++ch) {
+            d[ch] = TruncClamp8(m + (px[ch] * rb - m) * rc);
+          }
+        }
       }
     }
   } else {

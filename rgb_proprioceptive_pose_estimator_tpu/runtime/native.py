@@ -68,7 +68,10 @@ def build(force: bool = False) -> Optional[str]:
 
     The cached .so is reused only when source hash, build flags, and host
     all match the recorded .buildinfo."""
-    info = _buildinfo()
+    try:
+        info = _buildinfo()
+    except OSError:
+        return None   # csrc/ not shipped: callers fall back to numpy
     if not force and os.path.exists(_LIB) and os.path.exists(_INFO):
         try:
             with open(_INFO) as f:
