@@ -71,3 +71,31 @@ def test_serving_casts_list_and_float64_inputs(trained, tmp_path):
     # float64 input
     pos64, _ = serve({"proprio": np.zeros((2, d), np.float64)})
     assert pos64.shape == (2, 3)
+
+
+def test_int8_export_smaller_and_accurate(trained, tmp_path):
+    """Weight-only int8 export: materially smaller artifact, outputs close
+    to the f32 export."""
+    import os
+
+    cfg = trained
+    p32 = export_predictor(str(tmp_path / "f32.rppe"), cfg, max_batch=4)
+    p8 = export_predictor(str(tmp_path / "i8.rppe"), cfg, max_batch=4,
+                          quantize="int8")
+    assert os.path.getsize(p8) < 0.6 * os.path.getsize(p32)
+
+    s32, s8 = load_predictor(p32), load_predictor(p8)
+    assert s8.meta["quantize"] == "int8"
+    rs = np.random.RandomState(0)
+    batch = {"proprio": rs.randn(4, cfg.model.proprio_dim).astype(np.float32)}
+    pos32, quat32 = s32(batch)
+    pos8, quat8 = s8(batch)
+    # per-channel int8 on a trained small MLP: small but nonzero error
+    np.testing.assert_allclose(pos8, pos32, atol=0.05)
+    np.testing.assert_allclose(np.abs(np.sum(quat8 * quat32, axis=-1)),
+                               1.0, atol=0.01)
+
+
+def test_int8_export_rejects_unknown_mode(trained, tmp_path):
+    with pytest.raises(ValueError):
+        export_predictor(str(tmp_path / "x.rppe"), trained, quantize="int4")
