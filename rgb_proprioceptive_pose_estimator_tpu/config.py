@@ -10,7 +10,12 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Tuple
+
+
+def _check_enum(name: str, value: str, allowed: Tuple[str, ...]) -> None:
+    if value not in allowed:
+        raise ValueError(f"{name} must be one of {allowed}, got {value!r}")
 
 
 @dataclass
@@ -52,6 +57,15 @@ class ModelConfig:
     # imagenet-style per-channel normalization applied ON DEVICE to uint8 input
     image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    def __post_init__(self):
+        # validate string enums: a typo'd value silently selecting a
+        # default would train the wrong architecture/precision
+        _check_enum("model.backbone", self.backbone,
+                    ("none", "cnn_small", "resnet18", "resnet50"))
+        _check_enum("model.dtype", self.dtype, ("float32", "bfloat16"))
+        _check_enum("model.temporal_mode", self.temporal_mode,
+                    ("channel", "lstm"))
 
 
 @dataclass
@@ -176,12 +190,15 @@ class Config:
             for k, v in sub.items():
                 if k not in fields:
                     raise KeyError(f"unknown config key {dc_cls.__name__}.{k}")
-                ftype = fields[k].type
                 if isinstance(v, list):
                     v = tuple(v)
                 kwargs[k] = v
             return dc_cls(**kwargs)
 
+        unknown = set(d) - {"model", "data", "train", "dist", "name"}
+        if unknown:
+            raise KeyError(f"unknown config sections {sorted(unknown)}; "
+                           "expected model/data/train/dist/name")
         return cls(
             model=build(ModelConfig, d.get("model", {})),
             data=build(DataConfig, d.get("data", {})),
@@ -205,7 +222,6 @@ class Config:
             if parts[-1] not in node:
                 raise KeyError(f"unknown config key {path}")
             node[parts[-1]] = value
-        d["name"] = d.get("name", self.name)
         return Config.from_dict(d)
 
 

@@ -32,6 +32,12 @@ from rgb_proprioceptive_pose_estimator_tpu.ops.image_device import normalize_ima
 from rgb_proprioceptive_pose_estimator_tpu.ops.pose_math import quat_normalize
 
 
+def compute_dtype(cfg: ModelConfig):
+    """The single source of truth for cfg.dtype -> jnp dtype (values are
+    validated in ModelConfig.__post_init__)."""
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
 def _stack_temporal(img: jax.Array) -> jax.Array:
     """(B, T, H, W, C) -> (B, H, W, T*C)."""
     if img.ndim == 4:
@@ -45,7 +51,7 @@ class PoseEstimator(nn.Module):
 
     def _encoder(self, name: str):
         cfg = self.cfg
-        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        dtype = compute_dtype(cfg)
         if cfg.backbone == "cnn_small":
             return CNNSmall(features=cfg.image_features, dtype=dtype,
                             use_pallas=cfg.use_pallas, name=name)
@@ -63,7 +69,7 @@ class PoseEstimator(nn.Module):
     def __call__(self, batch: Dict[str, Any], train: bool = False
                  ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.cfg
-        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        dtype = compute_dtype(cfg)
         feats = []
 
         if cfg.backbone != "none":

@@ -103,7 +103,15 @@ def parent() -> int:
     ok = True
     outs = []
     for r, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            # hung rank (port race / dead peer): kill the whole fleet and
+            # report FAILED instead of leaking orphans + raising
+            for q in procs:
+                q.kill()
+            out, _ = p.communicate()
+            ok = False
         outs.append(out)
         if p.returncode != 0:
             ok = False

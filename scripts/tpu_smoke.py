@@ -70,6 +70,7 @@ def main() -> int:
             pos, quat = jax.jit(
                 lambda v, b: model.apply(v, b, train=False))(v, batch)
             assert np.all(np.isfinite(np.asarray(pos)))
+            assert np.all(np.isfinite(np.asarray(quat)))
 
         ok &= check(f"forward {backbone} bf16", fwd)
 

@@ -12,10 +12,14 @@ import os
 # plugin ('axon'), which ignores the env var -- the config update below is
 # what actually pins the backend to CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import re as _re
+
+_flags = os.environ.get("XLA_FLAGS", "")
+# force AT LEAST 8 virtual devices (an inherited smaller count would break
+# the distributed tests), replacing any existing value
+_flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "", _flags)
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 

@@ -75,3 +75,18 @@ def test_metrics_logger_survives_nonscalar(tmp_path):
     log.close()
     rec = json.loads(open(path).read())
     assert rec["ok"] == 1.0 and isinstance(rec["arr"], str)
+
+
+def test_config_rejects_unknown_section_and_bad_enums():
+    from rgb_proprioceptive_pose_estimator_tpu.config import (
+        Config, ModelConfig,
+    )
+
+    with pytest.raises(KeyError, match="unknown config sections"):
+        Config.from_dict({"trainer": {"lr": 1e-5}})
+    with pytest.raises(ValueError, match="model.dtype"):
+        ModelConfig(dtype="bf16")
+    with pytest.raises(ValueError, match="temporal_mode"):
+        ModelConfig(temporal_mode="LSTM")
+    with pytest.raises(ValueError, match="backbone"):
+        ModelConfig(backbone="resnet34")
