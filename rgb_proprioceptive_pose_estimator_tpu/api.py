@@ -53,12 +53,21 @@ def _restore(cfg: Config, ckpt_dir: Optional[str], step: Optional[int]):
 def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
              step: Optional[int] = None,
              max_batches: int = 0,
-             split: str = "auto") -> Dict[str, float]:
+             split: str = "auto",
+             data_path: Optional[str] = None) -> Dict[str, float]:
     """Restore a checkpoint and report metrics (pos MAE cm / rot MAE deg,
     BASELINE.json:2) over the eval transform pipeline (no augmentation).
 
     split="auto" evaluates the held-out split when cfg.data.val_fraction
-    is set, else the full dataset (the reference research-repo behavior)."""
+    is set, else the full dataset (the reference research-repo behavior).
+    data_path evaluates a different demo file than the training config
+    (e.g. a held-out demo collection); it implies split="all"."""
+    if data_path is not None:
+        cfg = cfg.override(**{"data.path": data_path,
+                              "data.source": "hdf5",
+                              "data.val_fraction": 0.0})
+        if split == "auto":
+            split = "all"
     if split == "auto":
         split = "val" if cfg.data.val_fraction > 0 else "all"
     model, state, got_step = _restore(cfg, ckpt_dir, step)

@@ -133,3 +133,33 @@ def test_pr5_shape_dualcam_temporal_dp(tmp_path, demo_h5):
     params = out["state"].params
     assert "encoder_agentview" in params
     assert "encoder_robot0_eye_in_hand" in params
+
+
+def test_evaluate_on_different_demo_file(tmp_path, demo_h5):
+    """evaluate(data_path=...) scores a checkpoint against a demo file
+    other than the training one (held-out collection workflow)."""
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    cfg = rppe.preset("pr2").override(**{
+        "model.backbone": "cnn_small",
+        "model.image_size": 64,
+        "model.image_features": 32,
+        "model.head_hidden": [32],
+        "model.use_proprio": False,
+        "data.path": demo_h5,
+        "data.batch_size": 16,
+        "data.num_workers": 0,
+        "train.steps": 10,
+        "train.eval_every": 0,
+        "train.ckpt_every": 10,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+    })
+    rppe.train(cfg)
+
+    other = write_demo_fixture(str(tmp_path / "other.hdf5"), n_demos=2,
+                               steps=16, cameras=("agentview",),
+                               image_hw=84, proprio_dim=16, seed=99)
+    m = rppe.evaluate(cfg, data_path=other, max_batches=2)
+    assert "pos_mae_cm" in m and np.isfinite(m["pos_mae_cm"])
