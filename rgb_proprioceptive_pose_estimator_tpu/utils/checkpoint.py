@@ -43,6 +43,11 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def all_steps(self):
+        """Steps currently on disk (used to avoid duplicate-step saves when
+        an explicit-step resume re-walks already-checkpointed steps)."""
+        return list(self._mngr.all_steps())
+
     def delete(self, step: int) -> None:
         self._mngr.delete(step)
 

