@@ -91,6 +91,14 @@ class DataConfig:
     target_key: str = "obs/object"
     # augmentation (C2, BASELINE.json:5,10). Applied on host in uint8;
     # normalize happens on device fused into the model input stage.
+    #
+    # GEOMETRIC augmentation defaults are OFF for pose targets (VERDICT r1
+    # missing-2): a random crop or flip moves the object in the image while
+    # the pose label stays in the world/robot frame, so without a camera
+    # model the (image, pose) pair becomes inconsistent -- label noise, not
+    # regularization. Photometric jitter is label-safe and stays on.
+    # To use flips, either accept the noise (hflip_prob > 0 alone, warns)
+    # or enable hflip_pose_mirror to transform the label with the image.
     augment: bool = True
     # fuse crop/flip/jitter INTO the jitted train step (BASELINE.json:5
     # "fused host-to-device preprocessing stage"): the host only decodes +
@@ -98,9 +106,18 @@ class DataConfig:
     # random crop over the margin + flip + jitter + normalize, all fused
     # by XLA. Offloads weak hosts at the cost of slightly larger frames.
     augment_device: bool = False
-    crop_margin: int = 8
-    crop_scale: Tuple[float, float] = (0.8, 1.0)   # random resized crop area
-    hflip_prob: float = 0.5
+    crop_margin: int = 0           # device-aug pad-and-crop margin (geometric)
+    crop_scale: Tuple[float, float] = (1.0, 1.0)   # random resized crop area
+    hflip_prob: float = 0.0
+    # hflip label consistency: mirror the target pose with the image flip.
+    # Valid when target-frame axis `hflip_mirror_axis` maps (up to sign)
+    # onto the image x direction; position reflects about
+    # hflip_mirror_center, the quaternion is conjugated by the reflection
+    # (ops/pose_math.mirror_pose). Forces ONE flip draw per sample shared
+    # by all cameras (per-camera flips cannot share one label).
+    hflip_pose_mirror: bool = False
+    hflip_mirror_axis: int = 0
+    hflip_mirror_center: float = 0.0
     jitter_brightness: float = 0.2
     jitter_contrast: float = 0.2
     jitter_saturation: float = 0.2
@@ -110,6 +127,23 @@ class DataConfig:
     synthetic_noise: float = 0.01
     # use the native C++ host-augment shim when built (runtime/)
     use_native: bool = True
+
+    def __post_init__(self):
+        _check_enum("data.source", self.source, ("synthetic", "hdf5"))
+        if self.hflip_mirror_axis not in (0, 1, 2):
+            raise ValueError(
+                f"data.hflip_mirror_axis must be 0/1/2, got "
+                f"{self.hflip_mirror_axis}")
+        if self.hflip_prob > 0 and not self.hflip_pose_mirror:
+            import warnings
+
+            warnings.warn(
+                "data.hflip_prob > 0 without data.hflip_pose_mirror: flipped "
+                "images keep the unflipped pose label, which adds label "
+                "noise to image->pose training. Set hflip_pose_mirror=True "
+                "(with hflip_mirror_axis/center matching your camera "
+                "geometry) or hflip_prob=0.",
+                stacklevel=3)
 
 
 @dataclass

