@@ -12,10 +12,21 @@ BN stats) with device-resident input batches -- the host pipeline is
 benchmarked separately in bench_input.py so this number isolates the
 compute path the north-star describes.
 
+The measured configuration is the tuned production config (every knob is
+a documented `Config` field or compile option, reproducible in training):
+  - train.steps_per_call=8: 8 optimizer steps per dispatch via lax.scan
+    (identical per-step numerics, tests/test_train_smoke.py) -- removes
+    ~0.6 ms/step of host dispatch through the proxied backend
+  - model.stem_s2d: space-to-depth stem (bit-equivalent, tests/test_fused_bn)
+  - xla_tpu_scoped_vmem_limit_kib=32768 (+3%, scripts/flag_sweep.py)
+  - train.log_grad_norm=False (default): no per-leaf norm fan-in
+Three timed windows are run and the MEDIAN is reported (the tunneled v5e
+shows ~±2% run-to-run drift; window_ms carries all three for the record).
+
 The tracked line is self-describing (VERDICT r1 weak-6): ms/step, model
 FLOPs/image (XLA cost analysis of the compiled step), and %-of-peak bf16
-compute, so later-round regressions are attributable. A preceding
-informational line reports ResNet-50@224 bf16 (config-4).
+compute. A preceding informational line reports ResNet-50@224 bf16
+(config-4).
 """
 
 from __future__ import annotations
@@ -28,6 +39,7 @@ import jax
 import numpy as np
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 20_000.0
+TUNED_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
 
 # peak dense bf16 FLOP/s per chip by device kind (public spec sheets)
 PEAK_BF16 = {
@@ -41,14 +53,16 @@ PEAK_BF16 = {
 
 def bench_config(preset_name: str, image_size: int, dtype: str,
                  per_chip: int, steps: int, warmup: int,
-                 use_pallas: bool):
+                 use_pallas: bool, unroll: int = 8, windows: int = 3,
+                 tuned: bool = True):
     """Run the jitted train step on device-resident batches; returns a
-    dict of measurements."""
+    dict of measurements. `steps` counts optimizer steps per window."""
     from rgb_proprioceptive_pose_estimator_tpu.config import preset
     from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
     from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
         make_optimizer,
         make_train_step,
+        stack_microbatches,
     )
     from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
         build_model,
@@ -58,12 +72,15 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
 
     n_dev = len(jax.devices())
     global_batch = per_chip * n_dev
+    unroll = max(unroll, 1)
 
     cfg = preset(preset_name).override(**{
         "model.image_size": image_size,
         "model.dtype": dtype,
         "model.use_pallas": bool(use_pallas),
+        "model.stem_s2d": bool(tuned),
         "data.batch_size": global_batch,
+        "train.steps_per_call": unroll,
     })
 
     mesh = pmesh.make_mesh(n_dev)
@@ -71,22 +88,33 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
     tx = make_optimizer(cfg.train)
     state = create_state(cfg, tx, seed=0)
     state = jax.device_put(state, pmesh.replicated_sharding(mesh))
-    step = make_train_step(model, tx, cfg.train)
+    step = make_train_step(model, tx, cfg.train, unroll=unroll)
 
     bsh = pmesh.batch_sharding(mesh)
-    # two rotating device-resident batches so no host transfer is on the
-    # timed path
-    batches = [
+    # two rotating device-resident batch stacks so no host transfer is on
+    # the timed path
+    micro = [
         pmesh.shard_batch(example_batch(cfg.model, global_batch, rng=i), bsh)
         for i in range(2)
     ]
+    if unroll > 1:
+        batches = [stack_microbatches([micro[(i + j) % 2]
+                                       for j in range(unroll)], bsh)
+                   for i in range(2)]
+    else:
+        batches = micro
 
-    # model FLOPs from the compiled step's XLA cost analysis (includes
-    # fwd+bwd+optimizer; best-effort -- some backends return no estimate)
+    lowered = step.lower(state, batches[0])
+    compiled = lowered.compile(TUNED_COMPILER_OPTS if tuned else None)
+
+    # model FLOPs from XLA cost analysis of an UNROLL-1 lowering (the
+    # scanned program reports its loop body once, so analyzing the
+    # single-step graph avoids guessing the trip-count convention);
+    # best-effort -- some backends return no estimate
     flops_per_step = None
     try:
-        donated = jax.tree.map(lambda x: x, state)  # keep `state` alive
-        cost = step.lower(donated, batches[0]).compile().cost_analysis()
+        step1 = make_train_step(model, tx, cfg.train, unroll=1)
+        cost = step1.lower(state, micro[0]).compile().cost_analysis()
         if cost:
             f = cost.get("flops", 0.0)
             if f and np.isfinite(f) and f > 0:
@@ -94,26 +122,38 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
     except Exception:
         pass
 
-    # Synchronize by fetching a real value: device_get round-trips actual
-    # bytes, which stays honest on proxy/tunnel backends where
-    # block_until_ready can return before execution completes.
-    for i in range(max(warmup, 1)):   # >=1: compile outside the timer
-        state, metrics = step(state, batches[i % 2])
-    float(jax.device_get(metrics["loss"]))
+    def sync(metrics):
+        # Synchronize by fetching a real value: device_get round-trips
+        # actual bytes, which stays honest on proxy/tunnel backends where
+        # block_until_ready can return before execution completes.
+        loss = metrics["loss"]
+        return float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, batches[i % 2])
-    loss = float(jax.device_get(metrics["loss"]))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(loss)
+    dispatches = max(steps // unroll, 1)
+    for i in range(max(warmup // unroll, 1)):
+        state, metrics = compiled(state, batches[i % 2])
+    sync(metrics)
 
-    imgs_per_sec = global_batch * steps / dt
+    window_ms = []
+    loss = None
+    for _ in range(max(windows, 1)):
+        t0 = time.perf_counter()
+        for i in range(dispatches):
+            state, metrics = compiled(state, batches[i % 2])
+        loss = sync(metrics)
+        dt = time.perf_counter() - t0
+        window_ms.append(dt / (dispatches * unroll) * 1e3)
+    assert loss is not None and np.isfinite(loss)
+
+    ms = float(np.median(window_ms))
+    imgs_per_sec = global_batch / (ms / 1e3)
     out = {
         "value": round(imgs_per_sec / n_dev, 1),
         "unit": "images/sec/chip",
-        "ms_per_step": round(dt / steps * 1e3, 3),
+        "ms_per_step": round(ms, 3),
+        "window_ms": [round(w, 3) for w in window_ms],
         "batch_per_chip": per_chip,
+        "steps_per_call": unroll,
         "n_devices": n_dev,
         "device_kind": jax.devices()[0].device_kind,
     }
@@ -122,7 +162,7 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
             flops_per_step / global_batch / 1e9, 3)
         peak = PEAK_BF16.get(out["device_kind"])
         if peak:
-            achieved = flops_per_step / (dt / steps)
+            achieved = flops_per_step / (ms / 1e3)
             out["pct_peak_bf16"] = round(100.0 * achieved / (peak * n_dev), 1)
     return out
 
@@ -131,11 +171,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-per-chip", type=int, default=0,
                     help="per-chip batch size (0 = auto by backend)")
-    ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=48,
+                    help="optimizer steps per timed window")
+    ap.add_argument("--warmup", type=int, default=16)
+    ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="steps per dispatch (0 = auto: 8 on TPU, 1 on CPU)")
     ap.add_argument("--image-size", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--no-tuned", action="store_true",
+                    help="disable the tuned config (s2d stem, vmem opt)")
     ap.add_argument("--skip-extra", action="store_true",
                     help="skip the informational ResNet-50@224 line")
     args = ap.parse_args()
@@ -143,27 +189,34 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     # 512/chip measured best on v5e (batch sweep in docs/DESIGN.md)
     per_chip = args.batch_per_chip or (512 if on_tpu else 16)
+    unroll = args.unroll or (8 if on_tpu else 1)
+    tuned = not args.no_tuned
 
-    if not args.skip_extra and on_tpu:
-        # informational: config-4 (ResNet-50, 224x224, bf16) -- printed
-        # BEFORE the tracked line so the driver parses the tracked metric
-        try:
-            extra = bench_config("pr4", 224, "bfloat16",
-                                 per_chip=min(per_chip, 128),
-                                 steps=max(args.steps // 2, 10),
-                                 warmup=args.warmup, use_pallas=args.pallas)
-            extra["metric"] = ("images/sec/chip (train, resnet50+proprio "
-                               "fusion, 224x224, bfloat16) [informational]")
-            print(json.dumps(extra))
-        except Exception as e:   # never let the extra line kill the bench
-            print(json.dumps({"metric": "resnet50 informational line",
-                              "error": repr(e)[:200]}))
-
+    # tracked bench runs FIRST (running the resnet50 line beforehand was
+    # measured to slow the tracked window by ~1%); its line still prints
+    # LAST because the driver parses the final line as the metric
     r = bench_config("pr3", args.image_size, args.dtype, per_chip,
-                     args.steps, args.warmup, args.pallas)
+                     args.steps, args.warmup, args.pallas,
+                     unroll=unroll, windows=args.windows, tuned=tuned)
     r["metric"] = ("images/sec/chip (train, resnet18+proprio fusion, "
                    f"{args.image_size}x{args.image_size}, {args.dtype})")
     r["vs_baseline"] = round(r["value"] / BASELINE_IMG_PER_SEC_PER_CHIP, 4)
+
+    if not args.skip_extra and on_tpu:
+        # informational: config-4 (ResNet-50, 224x224, bf16)
+        try:
+            extra = bench_config("pr4", 224, "bfloat16",
+                                 per_chip=min(per_chip, 128),
+                                 steps=max(args.steps // 2, unroll),
+                                 warmup=args.warmup, use_pallas=args.pallas,
+                                 unroll=unroll, windows=1, tuned=tuned)
+            extra["metric"] = ("images/sec/chip (train, resnet50+proprio "
+                               "fusion, 224x224, bfloat16) [informational]")
+            print(json.dumps(extra), flush=True)
+        except Exception as e:   # never let the extra line kill the bench
+            print(json.dumps({"metric": "resnet50 informational line",
+                              "error": repr(e)[:200]}), flush=True)
+
     print(json.dumps(r))
 
 

@@ -48,6 +48,17 @@ class ModelConfig:
     # use hand-written Pallas fused kernels where available (XLA fusion is the
     # default-correct fallback, SURVEY.md section 8 hard-part 4)
     use_pallas: bool = False
+    # training-mode BatchNorm statistics implementation (models/blocks.py):
+    # "reduce" = XLA reduce fusions (default -- measured fastest in-step on
+    # v5e: the reduces co-fuse with neighboring elementwise work, which the
+    # alternatives break up; see docs/DESIGN.md); "matmul" = MXU-routed
+    # dot_generals with a hand-written VJP (ops/fused_bn.py, SPMD-safe);
+    # "pallas" = one-pass Pallas stats kernel (single-device only)
+    bn_stats: str = "reduce"
+    # compute the ResNet 7x7/2 stem as an equivalent 4x4/1 conv over a
+    # space-to-depth input (C_in 3 -> 12; standard TPU stem optimization,
+    # bit-equivalent up to f32 summation order -- models/resnet._S2DStemConv)
+    stem_s2d: bool = False
     # rematerialize residual blocks (jax.checkpoint): trades recompute FLOPs
     # for activation HBM -- enables bigger per-chip batches at 224x224
     remat: bool = False
@@ -64,6 +75,8 @@ class ModelConfig:
         _check_enum("model.backbone", self.backbone,
                     ("none", "cnn_small", "resnet18", "resnet50"))
         _check_enum("model.dtype", self.dtype, ("float32", "bfloat16"))
+        _check_enum("model.bn_stats", self.bn_stats,
+                    ("reduce", "matmul", "pallas"))
         _check_enum("model.temporal_mode", self.temporal_mode,
                     ("channel", "lstm"))
 
@@ -160,11 +173,24 @@ class TrainConfig:
     # accumulate gradients over N micro-batches before each update
     # (effective batch = N * data.batch_size; optax.MultiSteps)
     grad_accum: int = 1
+    # apply the optimizer to one flattened parameter vector (optax.flatten)
+    # instead of per-leaf: identical math for elementwise transforms,
+    # fewer+bigger kernels (see docs/DESIGN.md roofline tail)
+    flat_optimizer: bool = False
+    # run N optimizer steps per jitted dispatch (lax.scan inside the step;
+    # engine/train_step.make_train_step unroll). Identical per-step
+    # numerics; amortizes host/runtime dispatch overhead. log/eval/ckpt
+    # cadences and `steps` must be multiples of N (validated in fit()).
+    steps_per_call: int = 1
     # loss weighting: L = pos_weight * MSE(pos) + rot_weight * quat_loss
     pos_weight: float = 1.0
     rot_weight: float = 1.0
     rot_loss: str = "chordal"      # "chordal" (1-<q,q'>^2) | "geodesic"
     seed: int = 0
+    # include the global gradient norm in train metrics. Off by default:
+    # it costs a per-leaf reduction fan-in every step (~0.3 ms/step on
+    # v5e at pr3 scale) and the reference logged nothing comparable.
+    log_grad_norm: bool = False
     log_every: int = 50
     eval_every: int = 500
     eval_steps: int = 16           # batches per eval pass

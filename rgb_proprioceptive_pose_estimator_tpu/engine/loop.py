@@ -28,6 +28,7 @@ from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
     make_lr_schedule,
     make_optimizer,
     make_train_step,
+    stack_microbatches,
 )
 from rgb_proprioceptive_pose_estimator_tpu.models.fusion import build_model
 from rgb_proprioceptive_pose_estimator_tpu.parallel import mesh as pmesh
@@ -137,7 +138,18 @@ def fit(cfg: Config) -> Dict[str, Any]:
             "jitter_saturation": cfg.data.jitter_saturation,
             "jitter_prob": cfg.data.jitter_prob,
         }
-    train_step = make_train_step(model, tx, tcfg, device_aug=device_aug)
+    spc = max(tcfg.steps_per_call, 1)
+    if spc > 1:
+        for name, v in (("log_every", tcfg.log_every),
+                        ("eval_every", tcfg.eval_every),
+                        ("ckpt_every", tcfg.ckpt_every),
+                        ("steps", tcfg.steps)):
+            if v and v % spc != 0:
+                raise ValueError(
+                    f"train.{name}={v} must be a multiple of "
+                    f"train.steps_per_call={spc}")
+    train_step = make_train_step(model, tx, tcfg, device_aug=device_aug,
+                                 unroll=spc)
     eval_step = make_eval_step(model, tcfg)
     lr_schedule = make_lr_schedule(tcfg)
 
@@ -152,13 +164,22 @@ def fit(cfg: Config) -> Dict[str, Any]:
     # steps a PREVIOUS run left on disk (explicit-step resume may re-reach
     # them; orbax refuses duplicate-step saves, so delete-then-save)
     preexisting_steps = set(ckpt.all_steps()) if start_step else set()
+    if spc > 1 and (tcfg.steps - start_step) % spc != 0:
+        raise ValueError(
+            f"resume step {start_step} leaves {tcfg.steps - start_step} "
+            f"steps, not a multiple of train.steps_per_call={spc}")
     log_anchor = start_step           # step at which t_log was last reset
     t_log = time.perf_counter()
-    for step_i in range(start_step, tcfg.steps):
-        batch = next(train_pipe)
-        state, m = train_step(state, batch)
+    for step_i in range(start_step, tcfg.steps, spc):
+        if spc == 1:
+            batch = next(train_pipe)
+            state, m = train_step(state, batch)
+        else:
+            micro = [next(train_pipe) for _ in range(spc)]
+            state, m = train_step(state, stack_microbatches(micro, bsh))
+            m = jax.tree.map(lambda a: a[-1], m)  # last microstep's metrics
 
-        step1 = step_i + 1
+        step1 = step_i + spc
         if step_i == start_step and tcfg.log_every > 1:
             # exclude the train-step compile from the first throughput
             # window (ADVICE r1): sync on a real value (device_get stays

@@ -12,6 +12,7 @@ shapes (the pipeline drops/pads partial batches) and donated state buffers.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -61,6 +62,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.flat_optimizer:
+        # run the update on one flattened vector instead of ~60 per-leaf
+        # ops: turns the optimizer tail of tiny kernels into a few
+        # bandwidth-bound fusions (roofline tail, docs/DESIGN.md).
+        # Mathematically identical for elementwise transforms (adam/sgd/
+        # clip-by-global-norm all are).
+        tx = optax.flatten(tx)
     if cfg.grad_accum > 1:
         # accumulate over N micro-batches; the optimizer update (and thus
         # the logical step) applies every N calls of the jitted step
@@ -70,13 +78,21 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     cfg: TrainConfig,
-                    device_aug: Optional[Dict[str, Any]] = None) -> Callable:
+                    device_aug: Optional[Dict[str, Any]] = None,
+                    unroll: int = 1) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     `device_aug` (from Config.data when data.augment_device is set) fuses
     crop/flip/jitter into this step: dict with keys
     {cameras, out_hw, hflip_prob, jitter_*} -- see
-    ops/image_augment_device.py."""
+    ops/image_augment_device.py.
+
+    `unroll` > 1 (train.steps_per_call): the jitted function takes a batch
+    whose leaves carry a leading microstep axis of length `unroll` and runs
+    that many optimizer steps in ONE dispatch via `lax.scan` -- identical
+    per-step numerics, but host/runtime dispatch overhead is paid once per
+    `unroll` steps (~3% of step time through a proxied TPU backend).
+    Returned metrics then carry a leading (unroll,) axis."""
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -109,10 +125,42 @@ def make_train_step(model, tx: optax.GradientTransformation,
             rng=state.rng,
         )
         metrics = dict(aux)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if cfg.log_grad_norm:
+            # ~60 tiny per-leaf reductions + a concat every step; opt-in
+            # (the roofline tail in docs/DESIGN.md) -- grad_clip > 0 pays
+            # for it anyway inside optax
+            metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    if unroll <= 1:
+        return jax.jit(step, donate_argnums=(0,))
+
+    def multi_step(state: TrainState, batches):
+        return jax.lax.scan(step, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def stack_microbatches(batches, sharding=None) -> Any:
+    """Stack a list of device-resident batches along a new leading
+    microstep axis for an unrolled train step. The stack happens on device
+    (one tiny fused program); with a NamedSharding the batch dim stays
+    sharded (microstep axis replicated)."""
+    import jax.numpy as jnp
+
+    out_shardings = None
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = sharding.spec
+        out_shardings = NamedSharding(
+            sharding.mesh, PartitionSpec(None, *spec))
+
+    @functools.partial(jax.jit, out_shardings=out_shardings)
+    def _stack(*bs):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+
+    return _stack(*batches)
 
 
 def make_eval_step(model, cfg: TrainConfig) -> Callable:

@@ -34,13 +34,31 @@ kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class BatchNormAct(nn.Module):
-    """BatchNorm (torch semantics) + optional ReLU, fused as scale/bias."""
+    """BatchNorm (torch semantics) + optional ReLU, fused as scale/bias.
+
+    `stats_impl` picks how training-mode batch statistics (and the
+    backward reductions) are computed:
+
+    - "reduce": XLA reduce fusions (the round-1 path; 120-370 GB/s
+      measured in-step on v5e -- per-channel reductions are VPU
+      cross-lane work).
+    - "matmul": `ops/fused_bn.bn_train` -- every reduction routed through
+      the MXU as a dot_general (streams activations at HBM bandwidth) with
+      a hand-written VJP. SPMD-safe (contractions over the sharded batch
+      dim psum automatically).
+    - "pallas": same fused BN but forward stats from the one-pass Pallas
+      kernel (`ops/pallas_fused.channel_stats`). Single-device only
+      (pallas_call is not SPMD-partitionable) -- enforced at fit() time.
+
+    All three share the identical running-stat update and eval path.
+    """
 
     momentum: float = 0.9          # flax convention; torch momentum = 1 - this
     eps: float = 1e-5
     act: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    stats_impl: str = "reduce"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -54,15 +72,24 @@ class BatchNormAct(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
         )
 
+        y = None
         if train:
-            axes = tuple(range(x.ndim - 1))
-            # reduce the (possibly bf16) input with an f32 accumulator --
-            # XLA fuses the convert into the reduction, no f32 intermediate
-            mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
-            mean_sq = jnp.mean(
-                jnp.square(x.astype(jnp.float32)), axis=axes)
-            # biased variance for normalization (torch behavior)
-            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            if self.stats_impl != "reduce":
+                from rgb_proprioceptive_pose_estimator_tpu.ops.fused_bn import (
+                    bn_train,
+                )
+
+                y, mean, var = bn_train(x, gamma, beta, self.eps,
+                                        self.stats_impl)
+            else:
+                axes = tuple(range(x.ndim - 1))
+                # reduce the (possibly bf16) input with an f32 accumulator;
+                # XLA fuses the convert into the reduction
+                mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+                mean_sq = jnp.mean(
+                    jnp.square(x.astype(jnp.float32)), axis=axes)
+                # biased variance for normalization (torch behavior)
+                var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 n = math.prod(x.shape[:-1])
                 unbiased = var * (n / max(n - 1, 1))
@@ -72,18 +99,19 @@ class BatchNormAct(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        inv = jax.lax.rsqrt(var + self.eps)
-        scale = gamma * inv
-        bias = beta - mean * scale
+        if y is None:
+            inv = jax.lax.rsqrt(var + self.eps)
+            scale = gamma * inv
+            bias = beta - mean * scale
 
-        if self.use_pallas and self.act:
-            from rgb_proprioceptive_pose_estimator_tpu.ops.pallas_fused import (
-                scale_bias_relu,
-            )
+            if self.use_pallas and self.act:
+                from rgb_proprioceptive_pose_estimator_tpu.ops.pallas_fused import (
+                    scale_bias_relu,
+                )
 
-            return scale_bias_relu(x, scale, bias).astype(self.dtype)
+                return scale_bias_relu(x, scale, bias).astype(self.dtype)
 
-        y = x.astype(jnp.float32) * scale + bias
+            y = x.astype(jnp.float32) * scale + bias
         if self.act:
             y = jnp.maximum(y, 0.0)
         return y.astype(self.dtype)
@@ -103,6 +131,7 @@ class ConvBNReLU(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    stats_impl: str = "reduce"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -124,6 +153,7 @@ class ConvBNReLU(nn.Module):
                 act=self.act,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                stats_impl=self.stats_impl,
                 name="bn",
             )(x, train)
         elif self.act:

@@ -21,6 +21,7 @@ class CNNSmall(nn.Module):
     channels: Tuple[int, ...] = (32, 64, 128, 256)
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    bn_stats: str = "reduce"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -31,6 +32,7 @@ class CNNSmall(nn.Module):
                 strides=(2, 2),
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                stats_impl=self.bn_stats,
                 name=f"block{i}",
             )(x, train)
         x = jnp.mean(x, axis=(-3, -2))        # global average pool (NHWC)

@@ -54,15 +54,16 @@ class PoseEstimator(nn.Module):
         dtype = compute_dtype(cfg)
         if cfg.backbone == "cnn_small":
             return CNNSmall(features=cfg.image_features, dtype=dtype,
-                            use_pallas=cfg.use_pallas, name=name)
+                            use_pallas=cfg.use_pallas,
+                            bn_stats=cfg.bn_stats, name=name)
         if cfg.backbone == "resnet18":
             return ResNet18(features=cfg.image_features, dtype=dtype,
-                            use_pallas=cfg.use_pallas, remat=cfg.remat,
-                            name=name)
+                            use_pallas=cfg.use_pallas, bn_stats=cfg.bn_stats,
+                            stem_s2d=cfg.stem_s2d, remat=cfg.remat, name=name)
         if cfg.backbone == "resnet50":
             return ResNet50(features=cfg.image_features, dtype=dtype,
-                            use_pallas=cfg.use_pallas, remat=cfg.remat,
-                            name=name)
+                            use_pallas=cfg.use_pallas, bn_stats=cfg.bn_stats,
+                            stem_s2d=cfg.stem_s2d, remat=cfg.remat, name=name)
         raise ValueError(f"unknown backbone {self.cfg.backbone!r}")
 
     @nn.compact

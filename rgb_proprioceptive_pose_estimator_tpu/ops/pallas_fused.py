@@ -111,6 +111,86 @@ def pallas_normalize_u8(
 
 
 # ---------------------------------------------------------------------------
+# Kernel: one-pass per-channel (sum, sum of squares) -- BN statistics
+# ---------------------------------------------------------------------------
+
+
+def _channel_stats_kernel(x_ref, sum_ref, ss_ref, acc_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(jnp.float32)
+    acc_ref[0:1, :] += jnp.sum(x, axis=0, keepdims=True)
+    acc_ref[1:2, :] += jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        sum_ref[...] = acc_ref[0:1, :]
+        ss_ref[...] = acc_ref[1:2, :]
+
+
+def channel_stats_supported(shape: Tuple[int, ...]) -> bool:
+    """True if `channel_stats` handles this shape: the flattened element
+    count must tile into LANE = lcm(C, 128) columns (always true for the
+    ResNet activation shapes)."""
+    c = shape[-1]
+    lane = (c * 128) // math.gcd(c, 128)
+    return math.prod(shape) % (lane * 8) == 0
+
+
+def channel_stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(..., C) -> per-channel (sum, sum of squares), f32, ONE read of x.
+
+    The alternative stats paths read x once per statistic (XLA reduce
+    fusion, 120-370 GB/s measured in-step) or once per matmul operand
+    (ops/bn_stats.py); this kernel computes both while streaming x exactly
+    once. Layout trick shared with `pallas_normalize_u8`: x is viewed as
+    (rows, LANE) with LANE = lcm(C, 128), so channel j lives at lanes
+    {j mod C} and the reduction runs down the SUBLANE axis -- the fast VPU
+    direction -- producing a (1, LANE) partial that the caller folds to
+    (C,) with a tiny XLA reshape-sum. Grid iterations run sequentially on
+    the core, so a (2, LANE) f32 VMEM scratch accumulates across blocks.
+
+    Not SPMD-partitionable: under a sharded batch use the matmul path
+    (ops/bn_stats.py) -- enforced by config validation (model.bn_stats).
+    """
+    c = x.shape[-1]
+    if not channel_stats_supported(x.shape):
+        raise ValueError(f"shape {x.shape} does not tile into lcm(C,128) "
+                         "lanes; use the matmul/reduce path")
+    lane = (c * 128) // math.gcd(c, 128)
+    rows = math.prod(x.shape) // lane
+    x2d = x.reshape(rows, lane)
+    # largest power-of-two block <= 2048 rows that divides rows
+    br = 2048
+    while rows % br:
+        br //= 2
+    grid = (rows // br,)
+    s, ss = pl.pallas_call(
+        _channel_stats_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((br, lane), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, lane), jnp.float32),
+            jax.ShapeDtypeStruct((1, lane), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, lane), jnp.float32)],
+        interpret=_interpret(),
+    )(x2d)
+    # fold the LANE-periodic partials to per-channel values (tiny, fused)
+    return (s.reshape(lane // c, c).sum(0),
+            ss.reshape(lane // c, c).sum(0))
+
+
+# ---------------------------------------------------------------------------
 # Kernel 2: fused per-channel scale*x + bias -> ReLU (BN-apply epilogue)
 # ---------------------------------------------------------------------------
 

@@ -24,7 +24,10 @@ import numpy as np
 
 def build(per_chip: int, image_size: int = 128, dtype: str = "bfloat16",
           use_pallas: bool = False, backbone: str | None = None,
-          grad_norm: bool = True):
+          grad_norm: bool = True, bn_stats: str | None = None,
+          stem_s2d: bool = False, unroll: int = 1,
+          copts: dict | None = None, flat_opt: bool = False,
+          grad_norm_metric: bool = False):
     from rgb_proprioceptive_pose_estimator_tpu.config import preset
     from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
     from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
@@ -47,31 +50,53 @@ def build(per_chip: int, image_size: int = 128, dtype: str = "bfloat16",
     }
     if backbone:
         over["model.backbone"] = backbone
+    if bn_stats:
+        over["model.bn_stats"] = bn_stats
+    if stem_s2d:
+        over["model.stem_s2d"] = True
+    if flat_opt:
+        over["train.flat_optimizer"] = True
+    if grad_norm_metric:
+        over["train.log_grad_norm"] = True
     cfg = preset("pr3").override(**over)
     mesh = pmesh.make_mesh(n_dev)
     model = build_model(cfg.model)
     tx = make_optimizer(cfg.train)
     state = create_state(cfg, tx, seed=0)
     state = jax.device_put(state, pmesh.replicated_sharding(mesh))
-    step = make_train_step(model, tx, cfg.train)
+    step = make_train_step(model, tx, cfg.train, unroll=unroll)
     bsh = pmesh.batch_sharding(mesh)
     batches = [
         pmesh.shard_batch(example_batch(cfg.model, global_batch, rng=i), bsh)
         for i in range(2)
     ]
+    if unroll > 1:
+        from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+            stack_microbatches,
+        )
+        # two rotating stacks built from alternating microbatches
+        batches = [stack_microbatches([batches[(i + j) % 2]
+                                       for j in range(unroll)], bsh)
+                   for i in range(2)]
+    if copts:
+        step = step.lower(state, batches[0]).compile(copts)
     return step, state, batches, global_batch, n_dev
 
 
-def timeit(step, state, batches, steps: int, warmup: int = 5):
+def timeit(step, state, batches, steps: int, warmup: int = 5,
+           unroll: int = 1):
+    """Returns seconds per OPTIMIZER step (dispatches / unroll)."""
     for i in range(max(warmup, 1)):
         state, metrics = step(state, batches[i % 2])
-    float(jax.device_get(metrics["loss"]))
+    loss = metrics["loss"]
+    float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = step(state, batches[i % 2])
-    float(jax.device_get(metrics["loss"]))
+    loss = metrics["loss"]
+    float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
     dt = time.perf_counter() - t0
-    return dt / steps, state
+    return dt / (steps * unroll), state
 
 
 def main() -> None:
@@ -82,6 +107,16 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--backbone", default="")
+    ap.add_argument("--bn-stats", default="",
+                    help="reduce | matmul | pallas (default: config)")
+    ap.add_argument("--stem-s2d", action="store_true")
+    ap.add_argument("--flat-opt", action="store_true")
+    ap.add_argument("--grad-norm", action="store_true",
+                    help="include the grad_norm metric (train.log_grad_norm)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="optimizer steps per dispatch (train.steps_per_call)")
+    ap.add_argument("--copts", default="",
+                    help="JSON dict of XLA compiler options")
     ap.add_argument("--sweep", default="", help="comma batch sizes")
     ap.add_argument("--dump-hlo", default="", help="write optimized HLO here")
     ap.add_argument("--repeats", type=int, default=1)
@@ -92,7 +127,10 @@ def main() -> None:
     for b in sizes:
         step, state, batches, gb, n_dev = build(
             b, args.image_size, args.dtype, args.pallas,
-            args.backbone or None)
+            args.backbone or None, bn_stats=args.bn_stats or None,
+            stem_s2d=args.stem_s2d, unroll=args.unroll,
+            copts=json.loads(args.copts) if args.copts else None,
+            flat_opt=args.flat_opt, grad_norm_metric=args.grad_norm)
         if args.dump_hlo:
             lowered = step.lower(state, batches[0])
             compiled = lowered.compile()
@@ -103,7 +141,8 @@ def main() -> None:
                               "flops": ca.get("flops"),
                               "bytes accessed": ca.get("bytes accessed")}))
         for _ in range(args.repeats):
-            ms, state = timeit(step, state, batches, args.steps)
+            ms, state = timeit(step, state, batches, args.steps,
+                               unroll=args.unroll)
             print(json.dumps({
                 "batch_per_chip": b,
                 "ms_per_step": round(ms * 1e3, 3),

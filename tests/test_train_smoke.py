@@ -220,3 +220,37 @@ def test_image_path_learns_from_jpeg_fixture(tmp_path):
     })
     out = rppe.train(cfg)
     assert out["metrics"]["pos_loss"] < 0.02, out["metrics"]
+
+
+def test_steps_per_call_unroll_equivalence(tmp_path):
+    """train.steps_per_call=k (lax.scan unrolled dispatch) must reproduce
+    the step-by-step run exactly -- same data order, same RNG folding,
+    same optimizer trajectory (engine/train_step.make_train_step unroll)."""
+    import jax
+
+    results = {}
+    for spc in (1, 4):
+        cfg = rppe.preset("pr1").override(**{
+            "train.steps": 8,
+            "train.steps_per_call": spc,
+            "train.log_every": 4,
+            "train.eval_every": 0,
+            "train.ckpt_every": 0,
+            "data.batch_size": 16,
+            "data.synthetic_size": 128,
+            "train.ckpt_dir": str(tmp_path / f"spc{spc}"),
+        })
+        out = rppe.train(cfg)
+        results[spc] = jax.tree.leaves(out["state"].params)
+    for a, b in zip(results[1], results[4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_steps_per_call_cadence_validation(tmp_path):
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 8, "train.steps_per_call": 3,
+        "train.ckpt_dir": str(tmp_path),
+    })
+    with pytest.raises(ValueError, match="steps_per_call"):
+        rppe.train(cfg)
