@@ -21,7 +21,14 @@ def _parse_value(s: str):
     try:
         return json.loads(s)
     except json.JSONDecodeError:
-        return s
+        pass
+    if "," in s:
+        # bare comma list for tuple fields: --set data.crop_ratio=0.75,1.333
+        try:
+            return [json.loads(p) for p in s.split(",")]
+        except json.JSONDecodeError:
+            pass
+    return s
 
 
 def load_config(args) -> Config:

@@ -121,6 +121,10 @@ class DataConfig:
     augment_device: bool = False
     crop_margin: int = 0           # device-aug pad-and-crop margin (geometric)
     crop_scale: Tuple[float, float] = (1.0, 1.0)   # random resized crop area
+    # random-resized-crop aspect-ratio range, torchvision convention
+    # (log-uniform draw; (1,1) = square windows). torchvision's default for
+    # RandomResizedCrop is (3/4, 4/3).
+    crop_ratio: Tuple[float, float] = (1.0, 1.0)
     hflip_prob: float = 0.0
     # hflip label consistency: mirror the target pose with the image flip.
     # Valid when target-frame axis `hflip_mirror_axis` maps (up to sign)
@@ -134,6 +138,10 @@ class DataConfig:
     jitter_brightness: float = 0.2
     jitter_contrast: float = 0.2
     jitter_saturation: float = 0.2
+    # hue shift amplitude in [0, 0.5] full turns (torchvision ColorJitter
+    # hue; its default is 0 = off). Host-side backends only -- the fused
+    # device-augment path supports b/c/s but not hue (validated below).
+    jitter_hue: float = 0.0
     jitter_prob: float = 0.8
     # synthetic source parameters (C15, BASELINE.json:7)
     synthetic_size: int = 4096     # samples per epoch
@@ -157,6 +165,20 @@ class DataConfig:
                 "(with hflip_mirror_axis/center matching your camera "
                 "geometry) or hflip_prob=0.",
                 stacklevel=3)
+        if not (0.0 <= self.jitter_hue <= 0.5):
+            raise ValueError(
+                f"data.jitter_hue must be in [0, 0.5] (torchvision "
+                f"convention), got {self.jitter_hue}")
+        if not (0 < self.crop_ratio[0] <= self.crop_ratio[1]):
+            raise ValueError(
+                f"data.crop_ratio must be an increasing positive pair, got "
+                f"{self.crop_ratio}")
+        if self.augment_device and self.augment and (
+                self.jitter_hue > 0 or tuple(self.crop_ratio) != (1.0, 1.0)):
+            raise ValueError(
+                "data.augment_device supports crop_margin/flip/b/c/s only; "
+                "jitter_hue and crop_ratio need the host augment path "
+                "(set data.augment_device=False)")
 
 
 @dataclass

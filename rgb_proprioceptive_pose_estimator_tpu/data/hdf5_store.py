@@ -54,6 +54,7 @@ class HDF5DemoStore:
         # the random crop/flip/jitter happens inside the jitted train step
         device_aug_hw: Optional[int] = None,
         crop_scale: Tuple[float, float] = (1.0, 1.0),
+        crop_ratio: Tuple[float, float] = (1.0, 1.0),
         hflip_prob: float = 0.0,
         # hflip label consistency (VERDICT r1 missing-2): mirror the target
         # pose with the flip; one flip draw per sample shared by all cameras
@@ -63,6 +64,7 @@ class HDF5DemoStore:
         jitter_brightness: float = 0.2,
         jitter_contrast: float = 0.2,
         jitter_saturation: float = 0.2,
+        jitter_hue: float = 0.0,
         jitter_prob: float = 0.8,
     ):
         self.path = path
@@ -76,10 +78,12 @@ class HDF5DemoStore:
         self.use_native = use_native
         self.device_aug_hw = device_aug_hw
         self._aug_kwargs = dict(
-            crop_scale=crop_scale, hflip_prob=hflip_prob,
+            crop_scale=crop_scale, crop_ratio=crop_ratio,
+            hflip_prob=hflip_prob,
             jitter_brightness=jitter_brightness,
             jitter_contrast=jitter_contrast,
-            jitter_saturation=jitter_saturation, jitter_prob=jitter_prob,
+            jitter_saturation=jitter_saturation, jitter_hue=jitter_hue,
+            jitter_prob=jitter_prob,
         )
         self.hflip_prob = hflip_prob
         self.hflip_pose_mirror = hflip_pose_mirror
@@ -438,10 +442,12 @@ class HDF5DemoStore:
         if native is not None:
             if augment:
                 crops = np.repeat(np.stack(
-                    [pb["y0"], pb["x0"], pb["size"]], axis=1), tf, axis=0)
+                    [pb["y0"], pb["x0"], pb["ch"], pb["cw"]], axis=1),
+                    tf, axis=0)
                 flips = np.repeat(pb["flip"].astype(np.uint8), tf)
                 jit = np.repeat(np.stack(
-                    [pb["brightness"], pb["contrast"], pb["saturation"]],
+                    [pb["brightness"], pb["contrast"], pb["saturation"],
+                     pb["hue"]],
                     axis=1).astype(np.float32), tf, axis=0)
                 out = native.augment_batch(frames, hw, crops, flips, jit)
             else:
@@ -465,6 +471,20 @@ class HDF5DemoStore:
 # Fixture generator (SURVEY.md section 5.2: tests build a tiny generated
 # robosuite-layout file rather than shipping binary data).
 # ---------------------------------------------------------------------------
+
+
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """(N, 4) unit quaternions (w, x, y, z) -> (N, 3, 3) rotation matrices
+    (numpy twin of ops/pose_math; sign-invariant)."""
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1),
+    ], axis=1)
 
 
 def write_demo_fixture(
@@ -495,12 +515,18 @@ def write_demo_fixture(
     corresponds to mirroring pos about x=0.5 -- i.e.
     data.hflip_pose_mirror with hflip_mirror_axis=0,
     hflip_mirror_center=0.5 is the label-consistent flip for this data.
-    The marker color encodes quat_w^2 only, which mirror_pose preserves."""
+    ORIENTATION is fully pixel-encoded (r2: the r1 fixture encoded only
+    quat_w^2, leaving rotation unlearnable and the rot-MAE artifact
+    near-chance): two satellite dots at pos + 0.15*(R e_i), e_1=(0,1,0),
+    e_2=(0,0,1), with (R e_i)_z in the green channel, determine R
+    completely -- and remain label-consistent under the same mirror (the
+    reflection maps R to MRM, so satellites of the mirrored quat are
+    exactly the mirrored satellites; their z/color is unchanged)."""
     rs = np.random.RandomState(seed)
     with h5py.File(path, "w") as f:
         data = f.create_group("data")
         data.attrs["env"] = "Lift_fixture"
-        data.attrs["repository_version"] = "rppe_tpu_fixture_v1"
+        data.attrs["repository_version"] = "rppe_tpu_fixture_v2"
         for d in range(n_demos):
             g = data.create_group(f"demo_{d}")
             # smooth random-walk pose
@@ -528,6 +554,9 @@ def write_demo_fixture(
                 proprio[:, :3] = pos
                 proprio[:, 3:7] = quat
 
+            # rotation matrices for the orientation satellites
+            rots = _quat_to_mat(quat)           # (steps, 3, 3)
+
             obs = g.create_group("obs")
             for cam in cameras:
                 imgs = rs.randint(0, 40, (steps, image_hw, image_hw, 3),
@@ -542,6 +571,28 @@ def write_demo_fixture(
                              + np.array([0.2, 0.2, 1]) * 255
                              * (1 - quat[t, 0] ** 2))
                     imgs[t, y0:y1, x0:x1] = color.astype(np.uint8)
+                    # Orientation satellites: dots at pos + 0.15*(R e_i) for
+                    # e_1=(0,1,0), e_2=(0,0,1); the dot's green channel
+                    # encodes (R e_i)_z. Together they pin down R (the x
+                    # column is e_1' x e_2'), making ROTATION learnable from
+                    # pixels. Mirror-consistency (hflip_pose_mirror, axis=0,
+                    # center=0.5): reflection M=diag(-1,1,1) maps R to MRM,
+                    # so R'e_i = M(R e_i) for e_i with zero x-component --
+                    # exactly the satellite position mirrored, with its
+                    # z-component (the color) unchanged.
+                    for si, e in enumerate(((0.0, 1.0, 0.0),
+                                            (0.0, 0.0, 1.0))):
+                        d = rots[t] @ np.asarray(e)
+                        sy = int(np.clip(pos[t, 1] + 0.15 * d[1], 0, 1)
+                                 * (image_hw - 1))
+                        sx = int(np.clip(pos[t, 0] + 0.15 * d[0], 0, 1)
+                                 * (image_hw - 1))
+                        sy0, sy1 = max(0, sy - 2), min(image_hw, sy + 2)
+                        sx0, sx1 = max(0, sx - 2), min(image_hw, sx + 2)
+                        ch = np.zeros(3)
+                        ch[0 if si == 0 else 2] = 255   # satellite identity
+                        ch[1] = (d[2] + 1) * 127.5      # z-component as green
+                        imgs[t, sy0:sy1, sx0:sx1] = ch.astype(np.uint8)
                 if encoding == "raw":
                     obs.create_dataset(f"{cam}_image", data=imgs)
                 elif encoding in ("jpeg", "png"):

@@ -69,6 +69,7 @@ def build_dataset(cfg: Config, split: str = "all"):
             device_aug_hw=(m.image_size + 2 * d.crop_margin
                            if d.augment_device and d.augment else None),
             crop_scale=d.crop_scale,
+            crop_ratio=d.crop_ratio,
             hflip_prob=d.hflip_prob,
             hflip_pose_mirror=d.hflip_pose_mirror,
             hflip_mirror_axis=d.hflip_mirror_axis,
@@ -76,6 +77,7 @@ def build_dataset(cfg: Config, split: str = "all"):
             jitter_brightness=d.jitter_brightness,
             jitter_contrast=d.jitter_contrast,
             jitter_saturation=d.jitter_saturation,
+            jitter_hue=d.jitter_hue,
             jitter_prob=d.jitter_prob,
         )
     raise ValueError(f"unknown data source {d.source!r}")

@@ -7,8 +7,9 @@
 //
 // Division of labor: Python samples per-image augmentation parameters with
 // numpy RNG (determinism semantics identical to the numpy fallback);
-// C++ does the pixel work -- crop window, bilinear resize, horizontal flip,
-// brightness/contrast/saturation jitter -- parallelized over a persistent
+// C++ does the pixel work -- rectangular crop window, bilinear resize,
+// horizontal flip, brightness/contrast/saturation/hue jitter --
+// parallelized over a persistent
 // std::thread pool. uint8 in, uint8 out; per-channel normalization stays on
 // device (BASELINE.json:5).
 //
@@ -149,18 +150,55 @@ inline uint8_t RoundClamp8(float v) {
   return (uint8_t)std::min(255.0f, std::max(0.0f, v + 0.5f));
 }
 
-// Bilinear resize of the crop window [y0, y0+s) x [x0, x0+s) of src
+// Hue rotation of one float RGB pixel (0-255 scale) by `shift` full
+// turns -- the same RGB<->HSV math as torchvision's tensor adjust_hue
+// (mirrors data/augment.adjust_hue; parity-tested against numpy).
+inline void HueRotate(float* px, float shift) {
+  float r = px[0] * (1.0f / 255.0f);
+  float g = px[1] * (1.0f / 255.0f);
+  float b = px[2] * (1.0f / 255.0f);
+  float maxc = std::max(r, std::max(g, b));
+  float minc = std::min(r, std::min(g, b));
+  float cr = maxc - minc;
+  float div = cr == 0.0f ? 1.0f : cr;
+  float sat = maxc == minc ? 0.0f : cr / maxc;
+  float rc = (maxc - r) / div, gc = (maxc - g) / div, bc = (maxc - b) / div;
+  float h = (maxc == r) ? (bc - gc) : (maxc == g) ? (2.0f + rc - bc)
+                                                  : (4.0f + gc - rc);
+  h = std::fmod(h / 6.0f + 1.0f, 1.0f);
+  h = std::fmod(h + shift + 1.0f, 1.0f);
+  float i6 = std::floor(h * 6.0f);
+  float f = h * 6.0f - i6;
+  int i = ((int)i6) % 6;
+  float pv = maxc * (1.0f - sat);
+  float qv = maxc * (1.0f - sat * f);
+  float tv = maxc * (1.0f - sat * (1.0f - f));
+  float rr, gg, bb;
+  switch (i) {
+    case 0: rr = maxc; gg = tv; bb = pv; break;
+    case 1: rr = qv; gg = maxc; bb = pv; break;
+    case 2: rr = pv; gg = maxc; bb = tv; break;
+    case 3: rr = pv; gg = qv; bb = maxc; break;
+    case 4: rr = tv; gg = pv; bb = maxc; break;
+    default: rr = maxc; gg = pv; bb = qv; break;
+  }
+  px[0] = rr * 255.0f;
+  px[1] = gg * 255.0f;
+  px[2] = bb * 255.0f;
+}
+
+// Bilinear resize of the crop window [y0, y0+ch) x [x0, x0+cw) of src
 // (sh x sw x c) into dst (oh x ow x c), with optional horizontal flip and
 // color jitter. Half-pixel-center mapping (cv2.INTER_LINEAR convention).
 // Separable two-pass: each needed source row is horizontally resized once
 // (cached; the row index is monotone in oy), then rows blend vertically.
 void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
                    uint8_t* dst, int oh, int ow,
-                   int y0, int x0, int s, bool flip,
-                   float fb, float fc, float fs) {
-  const float scale_y = (float)s / oh;
-  const float scale_x = (float)s / ow;
-  const bool jitter = fb > 0.0f || fc > 0.0f || fs > 0.0f;
+                   int y0, int x0, int ch_sz, int cw_sz, bool flip,
+                   float fb, float fc, float fs, float fh) {
+  const float scale_y = (float)ch_sz / oh;
+  const float scale_x = (float)cw_sz / ow;
+  const bool jitter = fb > 0.0f || fc > 0.0f || fs > 0.0f || fh != 0.0f;
 
   // horizontal interpolation tables; flip folds into the table
   std::vector<int> tx1(ow), tx2(ow);
@@ -170,8 +208,8 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
     float fx = (sx + 0.5f) * scale_x - 0.5f;
     int ix = (int)std::floor(fx);
     twx[ox] = fx - ix;
-    tx1[ox] = std::min(std::max(ix, 0), s - 1);
-    tx2[ox] = std::min(ix + 1, s - 1);
+    tx1[ox] = std::min(std::max(ix, 0), cw_sz - 1);
+    tx2[ox] = std::min(ix + 1, cw_sz - 1);
   }
 
   // two-row cache of horizontally-resized source rows
@@ -220,8 +258,8 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
       float fy = (oy + 0.5f) * scale_y - 0.5f;
       int iy = (int)std::floor(fy);
       float wy = fy - iy;
-      const float* top = get_row(std::min(std::max(iy, 0), s - 1));
-      const float* bot = get_row(std::min(iy + 1, s - 1));
+      const float* top = get_row(std::min(std::max(iy, 0), ch_sz - 1));
+      const float* bot = get_row(std::min(iy + 1, ch_sz - 1));
       float* srow = &stage[(size_t)oy * ow * c];
       for (size_t i = 0; i < (size_t)ow * c; ++i) {
         float v = (float)RoundClamp8(top[i] + wy * (bot[i] - top[i]));
@@ -242,18 +280,33 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
     const float rs = fs > 0 ? fs : 1.0f;
     const float m = mean * rb;  // contrast anchor on brightness-scaled mean
     const bool saturate = fs > 0 && c == 3;  // luma is RGB-only
+    const bool hue = fh != 0.0f && c == 3;
     for (int oy = 0; oy < oh; ++oy) {
       for (int ox = 0; ox < ow; ++ox) {
         float* px = &stage[((size_t)oy * ow + ox) * c];
         uint8_t* d = dst + ((size_t)oy * ow + ox) * c;
-        if (saturate) {
+        if (c == 3) {
           float v0 = m + (px[0] * rb - m) * rc;
           float v1 = m + (px[1] * rb - m) * rc;
           float v2 = m + (px[2] * rb - m) * rc;
-          float gray = 0.299f * v0 + 0.587f * v1 + 0.114f * v2;
-          d[0] = TruncClamp8(gray + (v0 - gray) * rs);
-          d[1] = TruncClamp8(gray + (v1 - gray) * rs);
-          d[2] = TruncClamp8(gray + (v2 - gray) * rs);
+          if (saturate) {
+            float gray = 0.299f * v0 + 0.587f * v1 + 0.114f * v2;
+            v0 = gray + (v0 - gray) * rs;
+            v1 = gray + (v1 - gray) * rs;
+            v2 = gray + (v2 - gray) * rs;
+          }
+          if (hue) {
+            // hue operates on the clipped intermediate (valid RGB cube),
+            // matching the numpy backend
+            float hp[3] = {std::min(255.0f, std::max(0.0f, v0)),
+                           std::min(255.0f, std::max(0.0f, v1)),
+                           std::min(255.0f, std::max(0.0f, v2))};
+            HueRotate(hp, fh);
+            v0 = hp[0]; v1 = hp[1]; v2 = hp[2];
+          }
+          d[0] = TruncClamp8(v0);
+          d[1] = TruncClamp8(v1);
+          d[2] = TruncClamp8(v2);
         } else {
           for (int ch = 0; ch < c; ++ch) {
             d[ch] = TruncClamp8(m + (px[ch] * rb - m) * rc);
@@ -266,8 +319,8 @@ void CropResizeOne(const uint8_t* src, int sh, int sw, int c,
       float fy = (oy + 0.5f) * scale_y - 0.5f;
       int iy = (int)std::floor(fy);
       float wy = fy - iy;
-      const float* top = get_row(std::min(std::max(iy, 0), s - 1));
-      const float* bot = get_row(std::min(iy + 1, s - 1));
+      const float* top = get_row(std::min(std::max(iy, 0), ch_sz - 1));
+      const float* bot = get_row(std::min(iy + 1, ch_sz - 1));
       uint8_t* d = dst + (size_t)oy * ow * c;
       for (size_t i = 0; i < (size_t)ow * c; ++i) {
         d[i] = RoundClamp8(top[i] + wy * (bot[i] - top[i]));
@@ -288,10 +341,10 @@ RPPE_EXPORT int rppe_init(int n_threads) { return GetPool(n_threads).size(); }
 // Augment a batch of n images.
 //   src:    n * sh * sw * c uint8, contiguous
 //   dst:    n * oh * ow * c uint8, contiguous (preallocated)
-//   crops:  n * 3 int32   -- y0, x0, size (square window)
+//   crops:  n * 4 int32   -- y0, x0, crop_h, crop_w (rectangular window)
 //   flips:  n uint8       -- 0/1 horizontal flip
-//   jitter: n * 3 float32 -- brightness/contrast/saturation factors
-//                            (<= 0 means "skip this jitter component")
+//   jitter: n * 4 float32 -- brightness/contrast/saturation/hue
+//                            (<= 0 skips b/c/s; hue 0.0 = identity)
 RPPE_EXPORT void rppe_augment_batch(const uint8_t* src, int64_t n, int sh, int sw, int c,
                         uint8_t* dst, int oh, int ow,
                         const int32_t* crops, const uint8_t* flips,
@@ -301,9 +354,10 @@ RPPE_EXPORT void rppe_augment_batch(const uint8_t* src, int64_t n, int sh, int s
   const int64_t out_stride = (int64_t)oh * ow * c;
   pool.ParallelFor(n, [&](int64_t i) {
     CropResizeOne(src + i * in_stride, sh, sw, c, dst + i * out_stride, oh, ow,
-                  crops[i * 3 + 0], crops[i * 3 + 1], crops[i * 3 + 2],
-                  flips[i] != 0, jitter[i * 3 + 0], jitter[i * 3 + 1],
-                  jitter[i * 3 + 2]);
+                  crops[i * 4 + 0], crops[i * 4 + 1], crops[i * 4 + 2],
+                  crops[i * 4 + 3],
+                  flips[i] != 0, jitter[i * 4 + 0], jitter[i * 4 + 1],
+                  jitter[i * 4 + 2], jitter[i * 4 + 3]);
   });
 }
 
@@ -319,7 +373,7 @@ RPPE_EXPORT void rppe_center_crop_resize_batch(const uint8_t* src, int64_t n, in
   const int64_t out_stride = (int64_t)oh * ow * c;
   pool.ParallelFor(n, [&](int64_t i) {
     CropResizeOne(src + i * in_stride, sh, sw, c, dst + i * out_stride, oh, ow,
-                  y0, x0, s, false, 0.0f, 0.0f, 0.0f);
+                  y0, x0, s, s, false, 0.0f, 0.0f, 0.0f, 0.0f);
   });
 }
 

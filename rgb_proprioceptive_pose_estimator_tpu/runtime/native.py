@@ -130,8 +130,9 @@ def augment_batch(frames: np.ndarray, out_hw: int, crops: np.ndarray,
                   threads: int = 0) -> np.ndarray:
     """frames (N, sh, sw, C) uint8 + per-frame params -> (N, out, out, C).
 
-    crops: (N, 3) int32 [y0, x0, size]; flips: (N,) uint8;
-    jitter: (N, 3) float32 brightness/contrast/saturation (<=0 skips)."""
+    crops: (N, 4) int32 [y0, x0, crop_h, crop_w]; flips: (N,) uint8;
+    jitter: (N, 4) float32 brightness/contrast/saturation/hue
+    (<=0 skips b/c/s; hue 0.0 = identity)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native augment library unavailable")

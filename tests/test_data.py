@@ -381,10 +381,12 @@ def test_vectorized_param_sampler_properties():
         hs, ws, seeds, crop_scale=(0.5, 1.0), hflip_prob=0.3,
         jitter_brightness=0.2, jitter_contrast=0.0, jitter_saturation=0.4,
         jitter_prob=0.5)
-    s = pb["size"]
-    assert s.min() >= 1 and s.max() <= 80
-    assert (pb["y0"] >= 0).all() and (pb["y0"] + s <= 100).all()
-    assert (pb["x0"] >= 0).all() and (pb["x0"] + s <= 80).all()
+    ch, cw = pb["ch"], pb["cw"]
+    assert ch.min() >= 1 and ch.max() <= 100
+    assert cw.min() >= 1 and cw.max() <= 80
+    np.testing.assert_array_equal(ch, cw)   # ratio (1,1) = square windows
+    assert (pb["y0"] >= 0).all() and (pb["y0"] + ch <= 100).all()
+    assert (pb["x0"] >= 0).all() and (pb["x0"] + cw <= 80).all()
     assert abs(pb["flip"].mean() - 0.3) < 0.02
     on = pb["brightness"] > 0
     assert abs(on.mean() - 0.5) < 0.02

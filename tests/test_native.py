@@ -28,9 +28,9 @@ def test_augment_batch_matches_numpy_backend():
     frames = _frames(8)
     rs = np.random.RandomState(3)
     params = [aug.sample_aug_params(84, 84, rs) for _ in range(8)]
-    crops = np.asarray([[p.y0, p.x0, p.size] for p in params], np.int32)
+    crops = np.asarray([[p.y0, p.x0, p.ch, p.cw] for p in params], np.int32)
     flips = np.asarray([p.flip for p in params], np.uint8)
-    jit = np.asarray([[p.brightness, p.contrast, p.saturation]
+    jit = np.asarray([[p.brightness, p.contrast, p.saturation, p.hue]
                       for p in params], np.float32)
     out = native.augment_batch(frames, 64, crops, flips, jit)
     ref = np.stack([aug.apply_aug_params(f, p, 64)
@@ -42,9 +42,9 @@ def test_augment_batch_matches_numpy_backend():
 
 def test_native_deterministic():
     frames = _frames(4)
-    crops = np.asarray([[0, 0, 84]] * 4, np.int32)
+    crops = np.asarray([[0, 0, 84, 84]] * 4, np.int32)
     flips = np.asarray([1, 0, 1, 0], np.uint8)
-    jit = np.asarray([[1.2, 0.8, 1.1]] * 4, np.float32)
+    jit = np.asarray([[1.2, 0.8, 1.1, 0.1]] * 4, np.float32)
     a = native.augment_batch(frames, 64, crops, flips, jit)
     b = native.augment_batch(frames, 64, crops, flips, jit)
     np.testing.assert_array_equal(a, b)
