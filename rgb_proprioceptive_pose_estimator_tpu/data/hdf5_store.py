@@ -496,6 +496,10 @@ def write_demo_fixture(
     proprio_dim: int = 32,
     seed: int = 0,
     leak_pose_into_proprio: bool = False,
+    # realistic correlated-proprio mode: proprio[:, :7] = pose + N(0, sigma)
+    # (an eef-pose-like signal that CORRELATES with the target without
+    # copying it -- the robosuite situation; 0 = off)
+    proprio_pose_noise: float = 0.0,
     encoding: str = "raw",   # "raw" | "jpeg" | "png" per-frame image storage
 ) -> str:
     """Write a tiny robomimic-layout HDF5 demo file whose images are
@@ -553,6 +557,12 @@ def write_demo_fixture(
             if leak_pose_into_proprio:
                 proprio[:, :3] = pos
                 proprio[:, 3:7] = quat
+            elif proprio_pose_noise > 0:
+                sig = proprio_pose_noise
+                proprio[:, :3] = pos + rs.randn(steps, 3) * sig
+                qn = quat + rs.randn(steps, 4) * sig
+                proprio[:, 3:7] = qn / np.linalg.norm(qn, axis=-1,
+                                                      keepdims=True)
 
             # rotation matrices for the orientation satellites
             rots = _quat_to_mat(quat)           # (steps, 3, 3)

@@ -33,6 +33,9 @@ ROWS = {
     "image-only": {"model.use_proprio": False},
     "image+proprio": {},
     "proprio-only (control)": {"model.backbone": "none"},
+    # realistic correlated proprio (eef-pose-like, sigma=0.05): fusion
+    # should BEAT image-only here -- the case the architecture exists for
+    "image+noisy-pose-proprio": {"_fixture": "noisy"},
 }
 
 
@@ -59,16 +62,27 @@ def main() -> None:
         write_demo_fixture(fixture, n_demos=args.demos,
                            steps=args.demo_steps, image_hw=args.image_hw,
                            cameras=("agentview",), seed=7)
+    fixture_noisy = os.path.join(args.out, "demos_noisy.hdf5")
 
     want = set(args.rows.split(",")) if args.rows else None
     results = {}
     for name, over in ROWS.items():
         if want and name not in want:
             continue
+        over = dict(over)
+        row_fixture = fixture
+        if over.pop("_fixture", None) == "noisy":
+            if not os.path.exists(fixture_noisy):
+                write_demo_fixture(
+                    fixture_noisy, n_demos=args.demos,
+                    steps=args.demo_steps, image_hw=args.image_hw,
+                    cameras=("agentview",), seed=7,
+                    proprio_pose_noise=0.05)
+            row_fixture = fixture_noisy
         ckpt_dir = os.path.join(args.out, name.split()[0].replace("+", "_"))
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         cfg = preset("pr3").override(**{
-            "data.path": fixture,
+            "data.path": row_fixture,
             "data.batch_size": args.batch,
             "data.val_fraction": 0.2,       # demo-granularity held-out split
             "data.augment_device": True,

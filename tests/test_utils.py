@@ -90,3 +90,24 @@ def test_config_rejects_unknown_section_and_bad_enums():
         ModelConfig(temporal_mode="LSTM")
     with pytest.raises(ValueError, match="backbone"):
         ModelConfig(backbone="resnet34")
+
+
+def test_config_r2_field_validation():
+    """r2 knobs: jitter_hue bounds, crop_ratio ordering, device-aug
+    incompatibility, steps_per_call cadence handled in fit (see
+    tests/test_train_smoke.py)."""
+    import pytest
+
+    from rgb_proprioceptive_pose_estimator_tpu.config import preset
+
+    with pytest.raises(ValueError, match="jitter_hue"):
+        preset("pr2").override(**{"data.jitter_hue": 0.6})
+    with pytest.raises(ValueError, match="crop_ratio"):
+        preset("pr2").override(**{"data.crop_ratio": (1.5, 0.5)})
+    with pytest.raises(ValueError, match="augment_device"):
+        preset("pr2").override(**{"data.augment_device": True,
+                                  "data.jitter_hue": 0.1})
+    # valid combos construct fine
+    preset("pr2").override(**{"data.crop_ratio": (0.75, 4 / 3),
+                              "data.jitter_hue": 0.25})
+    preset("pr2").override(**{"data.augment_device": True})
