@@ -95,7 +95,15 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     pipe = HostPipeline(dataset, cfg.data,
                         sharding=pmesh.batch_sharding(mesh), train=False,
                         batch_size=bs)
-    eval_step = make_eval_step(model, cfg.train)
+    eval_cache = None
+    if cfg.data.device_cache and cfg.model.backbone != "none":
+        from rgb_proprioceptive_pose_estimator_tpu.engine.loop import (
+            upload_image_cache,
+        )
+
+        eval_cache = upload_image_cache(dataset, cfg.model.image_size,
+                                        pmesh.replicated_sharding(mesh))
+    eval_step = make_eval_step(model, cfg.train, image_cache=eval_cache)
     out = evaluate_pipeline(eval_step, state, pipe, max_batches=max_batches)
     out["step"] = got_step
     pipe.close()

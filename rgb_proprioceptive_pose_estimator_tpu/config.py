@@ -148,6 +148,15 @@ class DataConfig:
     synthetic_noise: float = 0.01
     # use the native C++ host-augment shim when built (runtime/)
     use_native: bool = True
+    # Device-resident dataset: upload the deterministically-resized frames
+    # to HBM once (replicated across the mesh) and ship only int32 frame
+    # indices per batch; the jitted step gathers + (device-)augments. For
+    # datasets that fit in HBM this removes the host->device image stream
+    # entirely -- pixels are bit-identical to the host path (both gather
+    # from the same memoized resize cache). Training with augmentation
+    # requires data.augment_device (host-side pixel aug can't run on
+    # cached device frames). See docs/DESIGN.md "Device-resident dataset".
+    device_cache: bool = False
 
     def __post_init__(self):
         _check_enum("data.source", self.source, ("synthetic", "hdf5"))
@@ -179,6 +188,14 @@ class DataConfig:
                 "data.augment_device supports crop_margin/flip/b/c/s only; "
                 "jitter_hue and crop_ratio need the host augment path "
                 "(set data.augment_device=False)")
+        if self.device_cache and self.augment and not self.augment_device:
+            raise ValueError(
+                "data.device_cache trains from device-resident frames, so "
+                "augmentation must run on device: set "
+                "data.augment_device=True (or data.augment=False)")
+        if self.device_cache and self.source != "hdf5":
+            raise ValueError("data.device_cache applies to the hdf5 image "
+                             "source only")
 
 
 @dataclass

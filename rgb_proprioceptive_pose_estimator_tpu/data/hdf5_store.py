@@ -77,6 +77,9 @@ class HDF5DemoStore:
         self.use_proprio = use_proprio
         self.use_native = use_native
         self.device_aug_hw = device_aug_hw
+        # data.device_cache: get_batch emits int32 frame indices instead of
+        # pixel arrays (set by data/pipeline.build_dataset)
+        self.emit_image_indices = False
         self._aug_kwargs = dict(
             crop_scale=crop_scale, crop_ratio=crop_ratio,
             hflip_prob=hflip_prob,
@@ -313,6 +316,23 @@ class HDF5DemoStore:
             done[d] = True
         return arr[flat_idx]
 
+    def build_resized_cache(self, hw: int) -> Dict[str, np.ndarray]:
+        """Force-fill and return the full deterministic resize cache,
+        {camera: (N_frames, hw, hw, 3) uint8} -- the arrays a
+        device-resident dataset uploads to HBM (data.device_cache).
+        Requires RAM image caching (enabled automatically for datasets
+        small enough to consider device residency)."""
+        if not self._cache_images:
+            raise ValueError(
+                "device_cache requires the RAM image cache; this dataset "
+                "was opened with cache_images=False (too large?)")
+        out = {}
+        all_idx = np.arange(int(self._demo_off[-1]))
+        for cam in self.cameras:
+            self._resized_gather(cam, hw, all_idx)   # fills every demo
+            out[cam] = self._resized_flat[(cam, hw)]
+        return out
+
     def __len__(self) -> int:
         return len(self._index)
 
@@ -347,12 +367,20 @@ class HDF5DemoStore:
             flips = aug.hashed_uniforms(fseeds, 1)[:, 0] < self.hflip_prob
 
         if self.cameras:
-            batch["images"] = {
-                cam: self._camera_batch(cam, ci, indices, demos, win,
-                                        flat_idx, augment, seed,
-                                        forced_flips=flips)
-                for ci, cam in enumerate(self.cameras)
-            }
+            if self.emit_image_indices:
+                # device-resident dataset (data.device_cache): the jitted
+                # step gathers frames from the HBM cache by flat index --
+                # no pixel bytes cross the host->device boundary
+                batch["image_idx"] = (
+                    flat_idx[:, 0] if tf == 1 else flat_idx
+                ).astype(np.int32)
+            else:
+                batch["images"] = {
+                    cam: self._camera_batch(cam, ci, indices, demos, win,
+                                            flat_idx, augment, seed,
+                                            forced_flips=flips)
+                    for ci, cam in enumerate(self.cameras)
+                }
 
         if self.use_proprio:
             proprio = self._proprio_flat[flat_idx]     # (n, tf, D)

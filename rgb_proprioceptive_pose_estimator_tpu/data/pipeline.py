@@ -53,7 +53,7 @@ def build_dataset(cfg: Config, split: str = "all"):
     if d.source == "hdf5":
         if not d.path:
             raise ValueError("cfg.data.path required for hdf5 source")
-        return HDF5DemoStore(
+        store = HDF5DemoStore(
             d.path,
             split=split,
             val_fraction=d.val_fraction,
@@ -79,7 +79,10 @@ def build_dataset(cfg: Config, split: str = "all"):
             jitter_saturation=d.jitter_saturation,
             jitter_hue=d.jitter_hue,
             jitter_prob=d.jitter_prob,
+            cache_images=(True if d.device_cache else None),
         )
+        store.emit_image_indices = bool(d.device_cache) and bool(store.cameras)
+        return store
     raise ValueError(f"unknown data source {d.source!r}")
 
 

@@ -37,6 +37,19 @@ from rgb_proprioceptive_pose_estimator_tpu.utils.metrics import MetricsLogger
 from rgb_proprioceptive_pose_estimator_tpu.utils.prof import TraceWindow
 
 
+def upload_image_cache(store, hw: int, sharding) -> Dict[str, jax.Array]:
+    """data.device_cache: build the deterministic resize cache and place it
+    on the mesh (replicated). Errors before OOM-ing the device."""
+    arrs = store.build_resized_cache(hw)
+    total = sum(a.nbytes for a in arrs.values())
+    if total > 12 * 1024 ** 3:
+        raise ValueError(
+            f"data.device_cache: resized frames need {total / 1e9:.1f} GB "
+            "of HBM (> 12 GB guard); use the host pipeline for datasets "
+            "this size")
+    return {cam: jax.device_put(a, sharding) for cam, a in arrs.items()}
+
+
 def evaluate_pipeline(eval_step, state: TrainState, pipeline: HostPipeline,
                       max_batches: int = 0, start: int = 0) -> Dict[str, float]:
     """Average eval metrics over (up to) one epoch (SURVEY.md section 4.2).
@@ -148,9 +161,20 @@ def fit(cfg: Config) -> Dict[str, Any]:
                 raise ValueError(
                     f"train.{name}={v} must be a multiple of "
                     f"train.steps_per_call={spc}")
+    train_cache = eval_cache = None
+    if (cfg.data.device_cache and cfg.model.backbone != "none"
+            and cfg.data.source == "hdf5"):
+        hw_train = (cfg.model.image_size + 2 * cfg.data.crop_margin
+                    if device_aug is not None else cfg.model.image_size)
+        train_cache = upload_image_cache(dataset, hw_train, rsh)
+        if eval_ds is dataset and hw_train == cfg.model.image_size:
+            eval_cache = train_cache
+        else:
+            eval_cache = upload_image_cache(eval_ds, cfg.model.image_size,
+                                            rsh)
     train_step = make_train_step(model, tx, tcfg, device_aug=device_aug,
-                                 unroll=spc)
-    eval_step = make_eval_step(model, tcfg)
+                                 image_cache=train_cache, unroll=spc)
+    eval_step = make_eval_step(model, tcfg, image_cache=eval_cache)
     lr_schedule = make_lr_schedule(tcfg)
 
     metrics_path = tcfg.metrics_path or f"{tcfg.ckpt_dir}/metrics.jsonl"

@@ -76,9 +76,23 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return tx
 
 
+def gather_cached_images(image_cache: Dict[str, jax.Array], batch):
+    """Device-resident dataset (data.device_cache): materialize
+    batch["images"] by gathering HBM-cached frames with the batch's int32
+    flat indices. The gather compiles into the step; with the batch dim
+    sharded and the cache replicated, each shard gathers locally."""
+    idx = batch["image_idx"]
+    out = dict(batch)
+    del out["image_idx"]
+    out["images"] = {cam: jnp.take(arr, idx, axis=0)
+                     for cam, arr in image_cache.items()}
+    return out
+
+
 def make_train_step(model, tx: optax.GradientTransformation,
                     cfg: TrainConfig,
                     device_aug: Optional[Dict[str, Any]] = None,
+                    image_cache: Optional[Dict[str, jax.Array]] = None,
                     unroll: int = 1) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
@@ -105,6 +119,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
         return loss, (aux, mutated["batch_stats"])
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if image_cache is not None and "image_idx" in batch:
+            batch = gather_cached_images(image_cache, batch)
         if device_aug is not None:
             from rgb_proprioceptive_pose_estimator_tpu.ops.image_augment_device import (
                 augment_batch_images,
@@ -163,11 +179,15 @@ def stack_microbatches(batches, sharding=None) -> Any:
     return _stack(*batches)
 
 
-def make_eval_step(model, cfg: TrainConfig) -> Callable:
+def make_eval_step(model, cfg: TrainConfig,
+                   image_cache: Optional[Dict[str, jax.Array]] = None
+                   ) -> Callable:
     """Jitted eval step: frozen BN running stats, no augmentation
     (SURVEY.md section 4.2); returns loss components + cm/deg MAE."""
 
     def step(state: TrainState, batch) -> Dict[str, jax.Array]:
+        if image_cache is not None and "image_idx" in batch:
+            batch = gather_cached_images(image_cache, batch)
         pos, quat = model.apply(state.variables(), batch, train=False)
         _, aux = pose_loss(
             pos, quat, batch["target_pos"], batch["target_quat"],
