@@ -139,3 +139,34 @@ def test_sharded_evaluate_matches_single_device(tmp_path):
     for k in m1:
         np.testing.assert_allclose(m1[k], m8[k], rtol=1e-5, atol=1e-7,
                                    err_msg=k)
+
+
+def test_device_cache_matches_host_path_on_mesh(tmp_path):
+    """data.device_cache on the 8-device mesh: batch image indices shard on
+    'data', the replicated HBM cache gathers locally, and training matches
+    the host-shipped path at the SAME device count exactly. (8-vs-1-device
+    equality is NOT asserted at the fit level: adam divides by sqrt(v),
+    which amplifies psum/reduction-order roundoff over steps -- the
+    step-level 8-vs-1 check lives in test_dp_step_matches_single_device.)"""
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    path = str(tmp_path / "d.hdf5")
+    write_demo_fixture(path, n_demos=3, steps=16, image_hw=72, seed=11)
+    res = {}
+    for dc in (False, True):
+        cfg = rppe.preset("pr2").override(**{
+            "data.path": path, "data.batch_size": 16,
+            "data.augment_device": True, "data.crop_margin": 2,
+            "data.device_cache": dc, "model.image_size": 64,
+            "dist.num_devices": 8,
+            "train.steps": 3, "train.eval_every": 0, "train.ckpt_every": 0,
+            "train.log_every": 3,
+            "train.ckpt_dir": str(tmp_path / f"dc{dc}")})
+        out = rppe.train(cfg)
+        res[dc] = jax.tree.leaves(out["state"].params)
+    for a, b in zip(res[False], res[True]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
