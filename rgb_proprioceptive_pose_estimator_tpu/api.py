@@ -103,8 +103,9 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
 
         eval_cache = upload_image_cache(dataset, cfg.model.image_size,
                                         pmesh.replicated_sharding(mesh))
-    eval_step = make_eval_step(model, cfg.train, image_cache=eval_cache)
-    out = evaluate_pipeline(eval_step, state, pipe, max_batches=max_batches)
+    eval_step = make_eval_step(model, cfg.train)
+    out = evaluate_pipeline(eval_step, state, pipe, max_batches=max_batches,
+                            image_cache=eval_cache)
     out["step"] = got_step
     pipe.close()
     return out

@@ -51,13 +51,14 @@ def upload_image_cache(store, hw: int, sharding) -> Dict[str, jax.Array]:
 
 
 def evaluate_pipeline(eval_step, state: TrainState, pipeline: HostPipeline,
-                      max_batches: int = 0, start: int = 0) -> Dict[str, float]:
+                      max_batches: int = 0, start: int = 0,
+                      image_cache=None) -> Dict[str, float]:
     """Average eval metrics over (up to) one epoch (SURVEY.md section 4.2).
     `start` rotates partial passes across the split (see HostPipeline.epoch)."""
     sums: Dict[str, float] = {}
     n = 0
     for batch in pipeline.epoch(max_batches=max_batches, start=start):
-        m = jax.device_get(eval_step(state, batch))
+        m = jax.device_get(eval_step(state, batch, image_cache))
         for k, v in m.items():
             sums[k] = sums.get(k, 0.0) + float(v)
         n += 1
@@ -173,8 +174,8 @@ def fit(cfg: Config) -> Dict[str, Any]:
             eval_cache = upload_image_cache(eval_ds, cfg.model.image_size,
                                             rsh)
     train_step = make_train_step(model, tx, tcfg, device_aug=device_aug,
-                                 image_cache=train_cache, unroll=spc)
-    eval_step = make_eval_step(model, tcfg, image_cache=eval_cache)
+                                 unroll=spc)
+    eval_step = make_eval_step(model, tcfg)
     lr_schedule = make_lr_schedule(tcfg)
 
     metrics_path = tcfg.metrics_path or f"{tcfg.ckpt_dir}/metrics.jsonl"
@@ -197,10 +198,11 @@ def fit(cfg: Config) -> Dict[str, Any]:
     for step_i in range(start_step, tcfg.steps, spc):
         if spc == 1:
             batch = next(train_pipe)
-            state, m = train_step(state, batch)
+            state, m = train_step(state, batch, train_cache)
         else:
             micro = [next(train_pipe) for _ in range(spc)]
-            state, m = train_step(state, stack_microbatches(micro, bsh))
+            state, m = train_step(state, stack_microbatches(micro, bsh),
+                                  train_cache)
             m = jax.tree.map(lambda a: a[-1], m)  # last microstep's metrics
 
         step1 = step_i + spc
@@ -239,7 +241,8 @@ def fit(cfg: Config) -> Dict[str, Any]:
             eval_start = (step1 // tcfg.eval_every) * max(tcfg.eval_steps, 0)
             em = evaluate_pipeline(eval_step, state, eval_pipe,
                                    max_batches=tcfg.eval_steps,
-                                   start=eval_start)
+                                   start=eval_start,
+                                   image_cache=eval_cache)
             logger.log(step1, em, prefix="eval/")
             last_metrics.update({f"eval_{k}": v for k, v in em.items()})
             if best_ckpt is not None:

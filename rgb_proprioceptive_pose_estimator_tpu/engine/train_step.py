@@ -92,7 +92,6 @@ def gather_cached_images(image_cache: Dict[str, jax.Array], batch):
 def make_train_step(model, tx: optax.GradientTransformation,
                     cfg: TrainConfig,
                     device_aug: Optional[Dict[str, Any]] = None,
-                    image_cache: Optional[Dict[str, jax.Array]] = None,
                     unroll: int = 1) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
@@ -106,7 +105,13 @@ def make_train_step(model, tx: optax.GradientTransformation,
     that many optimizer steps in ONE dispatch via `lax.scan` -- identical
     per-step numerics, but host/runtime dispatch overhead is paid once per
     `unroll` steps (~3% of step time through a proxied TPU backend).
-    Returned metrics then carry a leading (unroll,) axis."""
+    Returned metrics then carry a leading (unroll,) axis.
+
+    The returned callable's signature is (state, batch, image_cache=None):
+    `image_cache` is the device-resident frame cache (data.device_cache),
+    passed as a TRACED ARGUMENT -- closure-capturing it would embed the
+    whole dataset as an HLO constant (rejected by remote compilers past
+    ~100 MB and bloating every executable)."""
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -118,7 +123,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
             rot_loss=cfg.rot_loss)
         return loss, (aux, mutated["batch_stats"])
 
-    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    def step(state: TrainState, batch, image_cache=None
+             ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         if image_cache is not None and "image_idx" in batch:
             batch = gather_cached_images(image_cache, batch)
         if device_aug is not None:
@@ -151,8 +157,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
     if unroll <= 1:
         return jax.jit(step, donate_argnums=(0,))
 
-    def multi_step(state: TrainState, batches):
-        return jax.lax.scan(step, state, batches)
+    def multi_step(state: TrainState, batches, image_cache=None):
+        def body(s, b):
+            return step(s, b, image_cache)
+
+        return jax.lax.scan(body, state, batches)
 
     return jax.jit(multi_step, donate_argnums=(0,))
 
@@ -179,13 +188,14 @@ def stack_microbatches(batches, sharding=None) -> Any:
     return _stack(*batches)
 
 
-def make_eval_step(model, cfg: TrainConfig,
-                   image_cache: Optional[Dict[str, jax.Array]] = None
-                   ) -> Callable:
+def make_eval_step(model, cfg: TrainConfig) -> Callable:
     """Jitted eval step: frozen BN running stats, no augmentation
-    (SURVEY.md section 4.2); returns loss components + cm/deg MAE."""
+    (SURVEY.md section 4.2); returns loss components + cm/deg MAE.
+    Signature (state, batch, image_cache=None) -- see make_train_step on
+    why the device cache is an argument, not a capture."""
 
-    def step(state: TrainState, batch) -> Dict[str, jax.Array]:
+    def step(state: TrainState, batch, image_cache=None
+             ) -> Dict[str, jax.Array]:
         if image_cache is not None and "image_idx" in batch:
             batch = gather_cached_images(image_cache, batch)
         pos, quat = model.apply(state.variables(), batch, train=False)

@@ -87,6 +87,7 @@ def main() -> None:
             "data.val_fraction": 0.2,       # demo-granularity held-out split
             "data.augment_device": True,
             "data.crop_margin": 4,
+            "data.device_cache": True,   # train from HBM (6.9x end-to-end)
             "train.steps": args.steps,
             "train.steps_per_call": 1,      # host-bound anyway on this box
             "train.lr": 3e-4,
