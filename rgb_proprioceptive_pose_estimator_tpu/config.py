@@ -139,8 +139,8 @@ class DataConfig:
     jitter_contrast: float = 0.2
     jitter_saturation: float = 0.2
     # hue shift amplitude in [0, 0.5] full turns (torchvision ColorJitter
-    # hue; its default is 0 = off). Host-side backends only -- the fused
-    # device-augment path supports b/c/s but not hue (validated below).
+    # hue; its default is 0 = off). Supported by every backend: numpy,
+    # C++, and the fused device-augment path.
     jitter_hue: float = 0.0
     jitter_prob: float = 0.8
     # synthetic source parameters (C15, BASELINE.json:7)
@@ -182,12 +182,6 @@ class DataConfig:
             raise ValueError(
                 f"data.crop_ratio must be an increasing positive pair, got "
                 f"{self.crop_ratio}")
-        if self.augment_device and self.augment and (
-                self.jitter_hue > 0 or tuple(self.crop_ratio) != (1.0, 1.0)):
-            raise ValueError(
-                "data.augment_device supports crop_margin/flip/b/c/s only; "
-                "jitter_hue and crop_ratio need the host augment path "
-                "(set data.augment_device=False)")
         if self.device_cache and self.augment and not self.augment_device:
             raise ValueError(
                 "data.device_cache trains from device-resident frames, so "

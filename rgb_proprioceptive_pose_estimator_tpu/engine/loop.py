@@ -150,7 +150,10 @@ def fit(cfg: Config) -> Dict[str, Any]:
             "jitter_brightness": cfg.data.jitter_brightness,
             "jitter_contrast": cfg.data.jitter_contrast,
             "jitter_saturation": cfg.data.jitter_saturation,
+            "jitter_hue": cfg.data.jitter_hue,
             "jitter_prob": cfg.data.jitter_prob,
+            "crop_scale": cfg.data.crop_scale,
+            "crop_ratio": cfg.data.crop_ratio,
         }
     spc = max(tcfg.steps_per_call, 1)
     if spc > 1:

@@ -8,10 +8,17 @@ RAM image cache can hold final-size arrays); random crop, horizontal
 flip, and color jitter run INSIDE the train step on uint8/compute-dtype
 tensors, where XLA fuses them with the normalize and the stem conv.
 
-Because XLA needs static shapes, the device-side crop is a fixed-size
-window at a random offset within the margin (pad-and-crop augmentation)
-rather than torchvision's variable-scale RandomResizedCrop -- the
-host-side backends keep the torchvision-style version.
+Crop modes (both static-shape, XLA-friendly):
+  * default: fixed-size window at a random offset within the margin
+    (pad-and-crop) -- a cheap dynamic_slice;
+  * `crop_scale`/`crop_ratio` set: a CONTINUOUS RandomResizedCrop -- the
+    per-sample window (area ~ U(scale)*HW, log-uniform aspect, clamped to
+    fit rather than torchvision's integer 10-attempt retry) is bilinearly
+    resampled to the fixed output size via an affine sampling grid
+    (gather + lerp; output shape static regardless of window size).
+
+`jitter_hue` runs the same RGB<->HSV rotation as the host backends
+(data/augment.adjust_hue), vectorized in jnp.
 
 Temporal stacks share one draw per (sample, camera): same crop / flip /
 jitter across the T frames (matching the host pipeline's temporal
@@ -26,6 +33,63 @@ import jax
 import jax.numpy as jnp
 
 
+def hue_rotate(x: jax.Array, shift: jax.Array) -> jax.Array:
+    """Hue rotation of float RGB in [0,1], (..., 3); `shift` broadcastable
+    (fraction of a full turn). Same math as data/augment.adjust_hue."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.max(x, axis=-1)
+    minc = jnp.min(x, axis=-1)
+    eqc = maxc == minc
+    cr = maxc - minc
+    div = jnp.where(eqc, 1.0, cr)
+    s = cr / jnp.where(eqc, 1.0, maxc)
+    rc = (maxc - r) / div
+    gc = (maxc - g) / div
+    bc = (maxc - b) / div
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0 + 1.0) % 1.0
+    h = (h + shift) % 1.0
+
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    i = i.astype(jnp.int32) % 6
+    p = maxc * (1.0 - s)
+    q = maxc * (1.0 - s * f)
+    t = maxc * (1.0 - s * (1.0 - f))
+    masks = [i == k for k in range(6)]
+    rr = jnp.select(masks, [maxc, q, p, p, t, maxc])
+    gg = jnp.select(masks, [t, maxc, maxc, q, p, p])
+    bb = jnp.select(masks, [p, p, t, maxc, maxc, q])
+    return jnp.stack([rr, gg, bb], axis=-1)
+
+
+def _bilinear_window(img: jax.Array, y0: jax.Array, x0: jax.Array,
+                     ch: jax.Array, cw: jax.Array, out_hw: int) -> jax.Array:
+    """Resample the (float-sized) window [y0, y0+ch) x [x0, x0+cw) of one
+    (T, H, W, C) image stack to (T, out_hw, out_hw, C), bilinear with
+    half-pixel centers (the cv2.INTER_LINEAR convention the host resize
+    uses)."""
+    t, h, w, c = img.shape
+    fy = y0 + (jnp.arange(out_hw) + 0.5) * (ch / out_hw) - 0.5
+    fx = x0 + (jnp.arange(out_hw) + 0.5) * (cw / out_hw) - 0.5
+    iy = jnp.floor(fy)
+    ix = jnp.floor(fx)
+    wy = (fy - iy)[None, :, None, None]
+    wx = (fx - ix)[None, None, :, None]
+    y0i = jnp.clip(iy.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0i = jnp.clip(ix.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    top = img[:, y0i]                       # (T, out, W, C)
+    bot = img[:, y1i]
+    tl, tr = top[:, :, x0i], top[:, :, x1i]  # (T, out, out, C)
+    bl, br = bot[:, :, x0i], bot[:, :, x1i]
+    t_ = tl + (tr - tl) * wx
+    b_ = bl + (br - bl) * wx
+    return t_ + (b_ - t_) * wy
+
+
 def device_augment(
     key: jax.Array,
     images: jax.Array,
@@ -34,17 +98,22 @@ def device_augment(
     jitter_brightness: float = 0.2,
     jitter_contrast: float = 0.2,
     jitter_saturation: float = 0.2,
+    jitter_hue: float = 0.0,
     jitter_prob: float = 0.8,
+    crop_scale: Tuple[float, float] = (1.0, 1.0),
+    crop_ratio: Tuple[float, float] = (1.0, 1.0),
     flip_mask: jax.Array = None,
 ) -> jax.Array:
     """(B, [T,] H, W, C) uint8 -> (B, [T,] out_hw, out_hw, C) float32.
 
-    H = W = out_hw + 2*margin; the crop offset is uniform over the margin.
-    Output is float32 in [0, 1] (the scale `normalize_images` expects for
-    float input; the per-channel normalize downstream fuses with it).
-    `flip_mask` (B,) bool, if given, replaces the per-camera flip draw --
-    pose-mirror mode shares one flip per sample across cameras so the
-    mirrored label stays consistent (VERDICT r1 missing-2).
+    H = W = out_hw + 2*margin. Default crop: fixed-size window, offset
+    uniform over the margin. With `crop_scale`/`crop_ratio` != (1,1):
+    continuous RandomResizedCrop via affine bilinear sampling (see module
+    docstring). Output is float32 in [0, 1] (the scale `normalize_images`
+    expects for float input; the per-channel normalize downstream fuses
+    with it). `flip_mask` (B,) bool, if given, replaces the per-camera
+    flip draw -- pose-mirror mode shares one flip per sample across
+    cameras so the mirrored label stays consistent (VERDICT r1 missing-2).
     """
     temporal = images.ndim == 5
     if not temporal:
@@ -53,14 +122,37 @@ def device_augment(
     if h < out_hw or w < out_hw:
         raise ValueError(f"source {h}x{w} smaller than crop {out_hw}")
 
-    k_oy, k_ox, k_flip, k_jon, k_b, k_c, k_s = jax.random.split(key, 7)
-    oy = jax.random.randint(k_oy, (b,), 0, h - out_hw + 1)
-    ox = jax.random.randint(k_ox, (b,), 0, w - out_hw + 1)
+    (k_oy, k_ox, k_flip, k_jon, k_b, k_c, k_s, k_h,
+     k_area, k_ar) = jax.random.split(key, 10)
 
-    def crop_one(img, y0, x0):
-        return jax.lax.dynamic_slice(img, (0, y0, x0, 0), (t, out_hw, out_hw, c))
+    rrc = (tuple(crop_scale) != (1.0, 1.0)
+           or tuple(crop_ratio) != (1.0, 1.0))
+    if rrc:
+        # continuous RandomResizedCrop: float window sizes, clamped to fit
+        area = jax.random.uniform(k_area, (b,), minval=crop_scale[0],
+                                  maxval=crop_scale[1]) * (h * w)
+        log_r = jax.random.uniform(
+            k_ar, (b,), minval=jnp.log(crop_ratio[0]),
+            maxval=jnp.log(crop_ratio[1]))
+        ar = jnp.exp(log_r)
+        cw_f = jnp.clip(jnp.sqrt(area * ar), 1.0, float(w))
+        ch_f = jnp.clip(jnp.sqrt(area / ar), 1.0, float(h))
+        oy_f = jax.random.uniform(k_oy, (b,)) * (h - ch_f)
+        ox_f = jax.random.uniform(k_ox, (b,)) * (w - cw_f)
+        imgs_f = images.astype(jnp.float32)
+        x = jax.vmap(_bilinear_window,
+                     in_axes=(0, 0, 0, 0, 0, None))(
+            imgs_f, oy_f, ox_f, ch_f, cw_f, out_hw) * (1.0 / 255.0)
+    else:
+        oy = jax.random.randint(k_oy, (b,), 0, h - out_hw + 1)
+        ox = jax.random.randint(k_ox, (b,), 0, w - out_hw + 1)
 
-    x = jax.vmap(crop_one)(images, oy, ox).astype(jnp.float32) * (1.0 / 255.0)
+        def crop_one(img, y0, x0):
+            return jax.lax.dynamic_slice(img, (0, y0, x0, 0),
+                                         (t, out_hw, out_hw, c))
+
+        x = jax.vmap(crop_one)(images, oy, ox).astype(jnp.float32) \
+            * (1.0 / 255.0)
 
     if flip_mask is not None:
         x = jnp.where(flip_mask.reshape(b, 1, 1, 1, 1),
@@ -97,6 +189,14 @@ def device_augment(
             gray = (x[..., 0:1] * 0.299 + x[..., 1:2] * 0.587
                     + x[..., 2:3] * 0.114)
             x = gray + (x - gray) * factor(k_s, jitter_saturation)
+        if jitter_hue > 0 and c == 3:
+            amp = min(jitter_hue, 0.5)
+            shift = jax.random.uniform(k_h, (b, 1, 1, 1), minval=-amp,
+                                       maxval=amp)
+            shift = shift * on[..., 0]      # off -> exactly 0 (identity)
+            # hue operates on the clipped intermediate (valid RGB cube),
+            # matching the host backends' b->c->s->h order
+            x = hue_rotate(jnp.clip(x, 0.0, 1.0), shift)
         x = jnp.clip(x, 0.0, 1.0)
 
     if not temporal:

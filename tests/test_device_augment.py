@@ -154,3 +154,64 @@ def test_device_pose_mirror_flips_images_and_labels():
                                tq[flipped_mask][:, :2])
     np.testing.assert_allclose(oq[flipped_mask][:, 2:],
                                -tq[flipped_mask][:, 2:])
+
+
+def test_device_hue_matches_numpy_backend():
+    """hue_rotate (jnp) == data/augment.adjust_hue (numpy) on the same
+    pixels and shift."""
+    import numpy as np
+
+    from rgb_proprioceptive_pose_estimator_tpu.data import augment as aug
+    from rgb_proprioceptive_pose_estimator_tpu.ops.image_augment_device import (
+        hue_rotate,
+    )
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 256, (9, 11, 3)).astype(np.float32)
+    for shift in (-0.4, 0.07, 0.5):
+        ref = aug.adjust_hue(img, shift) / 255.0
+        got = np.asarray(hue_rotate(jnp.asarray(img / 255.0),
+                                    jnp.float32(shift)))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_device_rrc_shapes_and_stats():
+    """Continuous RandomResizedCrop on device: static output shape, crop
+    windows actually vary, determinism under the same key."""
+    import numpy as np
+
+    from rgb_proprioceptive_pose_estimator_tpu.ops.image_augment_device import (
+        device_augment,
+    )
+
+    rs = np.random.RandomState(1)
+    imgs = rs.randint(0, 256, (16, 40, 40, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(5)
+    out = device_augment(key, jnp.asarray(imgs), 32,
+                         crop_scale=(0.3, 1.0), crop_ratio=(0.75, 4 / 3),
+                         jitter_prob=0.0)
+    assert out.shape == (16, 32, 32, 3)
+    out2 = device_augment(key, jnp.asarray(imgs), 32,
+                          crop_scale=(0.3, 1.0), crop_ratio=(0.75, 4 / 3),
+                          jitter_prob=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # different samples see genuinely different windows
+    per_sample_mean = np.asarray(out).mean(axis=(1, 2, 3))
+    assert per_sample_mean.std() > 1e-3
+
+
+def test_device_rrc_identity_window_matches_resize():
+    """With scale=(1,1), ratio=(1,1) forced through the RRC path (margin
+    0), the affine sampler reduces to identity up to float rounding."""
+    import numpy as np
+
+    from rgb_proprioceptive_pose_estimator_tpu.ops.image_augment_device import (
+        _bilinear_window,
+    )
+
+    rs = np.random.RandomState(2)
+    img = rs.randint(0, 256, (1, 24, 24, 3)).astype(np.float32)
+    out = _bilinear_window(jnp.asarray(img), jnp.float32(0.0),
+                           jnp.float32(0.0), jnp.float32(24.0),
+                           jnp.float32(24.0), 24)
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-3)

@@ -104,10 +104,10 @@ def test_config_r2_field_validation():
         preset("pr2").override(**{"data.jitter_hue": 0.6})
     with pytest.raises(ValueError, match="crop_ratio"):
         preset("pr2").override(**{"data.crop_ratio": (1.5, 0.5)})
-    with pytest.raises(ValueError, match="augment_device"):
-        preset("pr2").override(**{"data.augment_device": True,
-                                  "data.jitter_hue": 0.1})
-    # valid combos construct fine
+    # valid combos construct fine (device-aug supports hue + aspect via
+    # the continuous RandomResizedCrop path, ops/image_augment_device.py)
     preset("pr2").override(**{"data.crop_ratio": (0.75, 4 / 3),
                               "data.jitter_hue": 0.25})
-    preset("pr2").override(**{"data.augment_device": True})
+    preset("pr2").override(**{"data.augment_device": True,
+                              "data.jitter_hue": 0.1,
+                              "data.crop_ratio": (0.75, 4 / 3)})
