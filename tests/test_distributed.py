@@ -3,6 +3,7 @@ train step on an 8-device CPU mesh must match single-device math exactly
 (global-batch BN + psum'd grads => bitwise-equivalent update), and batches
 must actually shard."""
 
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -170,3 +171,38 @@ def test_device_cache_matches_host_path_on_mesh(tmp_path):
     for a, b in zip(res[False], res[True]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dp_step_matmul_bn_matches_single_device():
+    """model.bn_stats='matmul' (ops/fused_bn custom-VJP BN with MXU-routed
+    reductions) under the sharded batch: the dot_general contractions over
+    the 'data' axis must psum to the same global statistics -- 8-device
+    step == 1-device step (SGD; see note above on Adam)."""
+    cfg = _cfg()
+    model_cfg = dataclasses.replace(cfg.model, bn_stats="matmul")
+    cfg = Config(model=model_cfg, data=cfg.data,
+                 train=TrainConfig(lr=1e-2, optimizer="sgd"))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    step = make_train_step(model, tx, cfg.train)
+    batch = example_batch(cfg.model, batch_size=16, rng=9)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = pmesh.make_mesh(n_dev)
+        state = create_state(cfg, tx, seed=0)
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        db = pmesh.shard_batch(batch, pmesh.batch_sharding(mesh))
+        for _ in range(2):
+            state, metrics = step(state, db)
+        results[n_dev] = (jax.device_get(state.params),
+                          float(metrics["loss"]))
+    p1, l1 = results[1]
+    p8, l8 = results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    # the op-level SPMD check (grads within ~1e-6 relative of 1-device) is
+    # in tests/test_fused_bn-adjacent scripts; at the 2-SGD-step level the
+    # matmul path's per-shard K-partial contraction reassociates more
+    # coarsely than the reduce path's tree, so the tolerance is wider
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)

@@ -138,3 +138,42 @@ def test_s2d_stem_equivalence():
     np.testing.assert_allclose(
         np.asarray(g0["stem"]["conv"]["kernel"]),
         np.asarray(g1["stem"]["conv"]["kernel"]), rtol=2e-2, atol=1e-3)
+
+
+def test_bn_train_matmul_spmd_grads_match_single_device():
+    """Op-level SPMD check: bn_train('matmul') with the batch sharded over
+    8 devices produces the same stats and gradients as one device (the
+    dot_general contractions over the sharded dim psum to global stats)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8, 64),
+                          jnp.float32)
+    gamma = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (64,))) + 0.5
+    beta = jax.random.normal(jax.random.PRNGKey(2), (64,))
+    g_out = jax.random.normal(jax.random.PRNGKey(3), x.shape, jnp.float32)
+
+    def loss(x, gamma, beta):
+        y, m, v = bn_train(x, gamma, beta, 1e-5, "matmul")
+        return jnp.sum(y * g_out), (m, v)
+
+    results = {}
+    for n in (1, 8):
+        mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+        xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+        gd = jax.device_put(gamma, NamedSharding(mesh, P()))
+        bd = jax.device_put(beta, NamedSharding(mesh, P()))
+        f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                       has_aux=True))
+        (l, (m, v)), grads = f(xd, gd, bd)
+        results[n] = (float(l), np.asarray(m), np.asarray(v),
+                      [np.asarray(g) for g in grads])
+    l1, m1, v1, g1 = results[1]
+    l8, m8, v8, g8 = results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    np.testing.assert_allclose(m1, m8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(v1, v8, rtol=1e-4, atol=1e-6)
+    for name, a, b in zip(("dx", "dgamma", "dbeta"), g1, g8):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                   err_msg=name)
