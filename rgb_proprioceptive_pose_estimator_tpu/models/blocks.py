@@ -48,7 +48,8 @@ class BatchNormAct(nn.Module):
       dim psum automatically).
     - "pallas": same fused BN but forward stats from the one-pass Pallas
       kernel (`ops/pallas_fused.channel_stats`). Single-device only
-      (pallas_call is not SPMD-partitionable) -- enforced at fit() time.
+      (pallas_call is not SPMD-partitionable) -- enforced by the
+      mesh-size check in engine/loop.fit() (tests/test_train_smoke.py).
 
     All three share the identical running-stat update and eval path.
     """

@@ -155,7 +155,8 @@ def channel_stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     the core, so a (2, LANE) f32 VMEM scratch accumulates across blocks.
 
     Not SPMD-partitionable: under a sharded batch use the matmul path
-    (ops/bn_stats.py) -- enforced by config validation (model.bn_stats).
+    (ops/bn_stats.py) -- enforced by the mesh-size check in
+    engine/loop.fit() (bn_stats='pallas' requires a 1-device mesh).
     """
     c = x.shape[-1]
     if not channel_stats_supported(x.shape):

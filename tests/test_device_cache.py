@@ -103,3 +103,20 @@ def test_device_cache_temporal_frames(demo_path, tmp_path):
     for a, b in zip(res[False], res[True]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_device_cache_requires_image_backbone():
+    """device_cache with a proprio-only model would ship dead image_idx
+    arrays and silently train without images (ADVICE r2)."""
+    from rgb_proprioceptive_pose_estimator_tpu.data.pipeline import (
+        build_dataset,
+    )
+
+    cfg = rppe.preset("pr3").override(**{
+        "model.backbone": "none",
+        "data.device_cache": True,
+        "data.augment": False,
+        "data.path": "/nonexistent.hdf5",
+    })
+    with pytest.raises(ValueError, match="backbone"):
+        build_dataset(cfg)
