@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Serving-path latency benchmark (VERDICT r2 next-7).
+
+A robot stack cares about batch-1 latency, not just train throughput.
+This measures p50/p95 wall latency of the two serving surfaces:
+
+  1. `api.Predictor` -- the checkpoint-backed in-process predictor
+     (fixed compiled shape, recompile-free across calls), and
+  2. the loaded StableHLO export (`utils.export.load_predictor`) -- the
+     deployment artifact a serving process would run.
+
+Each at batch 1 and at the compiled max_batch. Two timings per case:
+  - end_to_end: numpy obs in -> numpy pose out (includes host<->device
+    transfer; on this environment's PROXIED TPU that transfer rides a
+    tunnel with ~25-50 ms RTT, so end_to_end here is an upper bound --
+    a robot host with a local chip sees far less), and
+  - device_only: inputs pre-staged on device, timed dispatch+compute+
+    fetch of the 7 output floats (the compute-side floor).
+
+Usage:
+  PYTHONPATH=/root/.axon_site:. python bench_serve.py [--out FILE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def percentiles(ts):
+    a = np.asarray(ts) * 1e3
+    return {"p50_ms": round(float(np.percentile(a, 50)), 3),
+            "p95_ms": round(float(np.percentile(a, 95)), 3),
+            "mean_ms": round(float(a.mean()), 3)}
+
+
+def time_calls(fn, n, warmup=5):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return percentiles(ts)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--calls", type=int, default=50)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--image-size", type=int, default=128)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from rgb_proprioceptive_pose_estimator_tpu.api import Predictor
+    from rgb_proprioceptive_pose_estimator_tpu.config import preset
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_optimizer,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model,
+        example_batch,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.utils.export import (
+        export_predictor,
+        load_predictor,
+    )
+
+    # flagship serving model (config-3: ResNet-18 + proprio fusion);
+    # latency is weight-independent, so a fresh-init state is fine
+    cfg = preset("pr3").override(**{"model.image_size": args.image_size})
+    model = build_model(cfg.model)
+    state = create_state(cfg, make_optimizer(cfg.train), seed=0)
+
+    results = {
+        "device_kind": jax.devices()[0].device_kind,
+        "backend": jax.default_backend(),
+        "model": "resnet18+proprio fusion",
+        "image_size": args.image_size,
+        "max_batch": args.max_batch,
+        "calls": args.calls,
+    }
+
+    def obs_for(n):
+        b = example_batch(cfg.model, batch_size=n)
+        obs = {"images": b["images"], "proprio": b["proprio"]}
+        if n == 1:  # unbatched robot-stack form
+            obs = {"images": {c: v[0] for c, v in obs["images"].items()},
+                   "proprio": obs["proprio"][0]}
+        return obs
+
+    # --- 1. api.Predictor ------------------------------------------------
+    pred = Predictor(cfg, state=state, model=model,
+                     max_batch=args.max_batch)
+    for n, tag in ((1, "batch1"), (args.max_batch, "max_batch")):
+        obs = obs_for(n)
+        results[f"predictor_{tag}_end_to_end"] = time_calls(
+            lambda: pred(obs), args.calls)
+
+    # device_only: pre-staged device batch through the same compiled fn
+    b = example_batch(cfg.model, batch_size=args.max_batch)
+    b.pop("target_pos"), b.pop("target_quat")
+    dev_batch = jax.device_put(b)
+    jax.block_until_ready(dev_batch)
+    variables = jax.device_put(state.variables())
+
+    def dev_call():
+        pos, _ = pred._fn(variables, dev_batch)
+        np.asarray(pos)  # fetch 7 floats -- honest sync on proxy backends
+
+    results["predictor_device_only_max_batch"] = time_calls(
+        dev_call, args.calls)
+
+    # --- 2. loaded StableHLO export --------------------------------------
+    path = "/tmp/rppe_serve_bench.rppe"
+    export_predictor(path, cfg, state=state, max_batch=args.max_batch)
+    serve = load_predictor(path)
+    for n, tag in ((1, "batch1"), (args.max_batch, "max_batch")):
+        b = example_batch(cfg.model, batch_size=n)
+        obs = {"images": b["images"], "proprio": b["proprio"]}
+        results[f"export_{tag}_end_to_end"] = time_calls(
+            lambda: serve(obs), args.calls)
+
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,12 @@ class ModelConfig:
     proprio_dim: int = 32          # robot state vector width
     proprio_hidden: Tuple[int, ...] = (256, 256)
     proprio_features: int = 128    # proprio embedding width
+    # dropout rate on the proprio embedding during training (0 = off).
+    # At small demo counts an uninformative proprio branch can act as a
+    # distractor the head overfits to (docs/DESIGN.md accuracy table,
+    # VERDICT r2 weak-5); dropping the branch's features forces the head
+    # to keep the image path load-bearing.
+    proprio_dropout: float = 0.0
     image_features: int = 512      # image embedding width (per camera)
     head_hidden: Tuple[int, ...] = (512, 256)
     # temporal stacking: number of recent frames stacked as input

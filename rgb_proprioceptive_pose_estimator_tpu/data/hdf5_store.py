@@ -529,6 +529,23 @@ def write_demo_fixture(
     # copying it -- the robosuite situation; 0 = off)
     proprio_pose_noise: float = 0.0,
     encoding: str = "raw",   # "raw" | "jpeg" | "png" per-frame image storage
+    # Per-camera occlusion (VERDICT r2 next-4: dual-camera must be shown
+    # to HELP): when > 0, even-indexed cameras render the marker +
+    # satellites only while pos_x < 0.5 + delta and odd-indexed only while
+    # pos_x > 0.5 - delta (delta = this value). Each camera alone is then
+    # blind on ~half the workspace; together they cover all of it.
+    camera_occlusion: float = 0.0,
+    # Velocity-extrapolated target (VERDICT r2 next-4: temporal stacking
+    # must be shown to HELP): when > 0, the rendered marker follows a
+    # smooth walk m[t] but the POSITION LABEL is
+    #   pos_label[t] = m[t] + alpha * (m[t] - m[t-1])      (m[-1] = m[0])
+    # with alpha = this value. A single frame reveals m[t] but not the
+    # velocity term, so the best single-frame predictor has an
+    # irreducible pos error of alpha * E|m[t]-m[t-1]|; a temporal model
+    # sees consecutive frames and can recover the label exactly. The
+    # orientation label stays single-frame-learnable (satellites render
+    # the label quat itself).
+    velocity_alpha: float = 0.0,
 ) -> str:
     """Write a tiny robomimic-layout HDF5 demo file whose images are
     *informative*: a bright marker is drawn at the pixel projection of the
@@ -572,8 +589,15 @@ def write_demo_fixture(
                 quat[t] = quat[t - 1] + rs.randn(4) * 0.1
             quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
 
+            # velocity-extrapolated label (see param doc): `pos` is the
+            # RENDERED marker walk m; the label adds alpha * velocity
+            label_pos = pos
+            if velocity_alpha > 0:
+                prev = np.vstack([pos[0:1], pos[:-1]])
+                label_pos = pos + velocity_alpha * (pos - prev)
+
             obj = np.zeros((steps, 14), np.float32)
-            obj[:, :3] = pos
+            obj[:, :3] = label_pos
             obj[:, 3:7] = quat
             obj[:, 7:10] = rs.randn(steps, 3) * 0.1   # filler (gripper-to-obj)
 
@@ -583,11 +607,11 @@ def write_demo_fixture(
             for t in range(1, steps):
                 proprio[t] = proprio[t - 1] + rs.randn(proprio_dim) * 0.05
             if leak_pose_into_proprio:
-                proprio[:, :3] = pos
+                proprio[:, :3] = label_pos
                 proprio[:, 3:7] = quat
             elif proprio_pose_noise > 0:
                 sig = proprio_pose_noise
-                proprio[:, :3] = pos + rs.randn(steps, 3) * sig
+                proprio[:, :3] = label_pos + rs.randn(steps, 3) * sig
                 qn = quat + rs.randn(steps, 4) * sig
                 proprio[:, 3:7] = qn / np.linalg.norm(qn, axis=-1,
                                                       keepdims=True)
@@ -596,10 +620,18 @@ def write_demo_fixture(
             rots = _quat_to_mat(quat)           # (steps, 3, 3)
 
             obs = g.create_group("obs")
-            for cam in cameras:
+            for ci, cam in enumerate(cameras):
                 imgs = rs.randint(0, 40, (steps, image_hw, image_hw, 3),
                                   dtype=np.uint8)  # dark noise background
                 for t in range(steps):
+                    if camera_occlusion > 0:
+                        # even cameras see the left region, odd the right;
+                        # the 2*delta overlap keeps a shared sliver
+                        visible = (pos[t, 0] < 0.5 + camera_occlusion
+                                   if ci % 2 == 0
+                                   else pos[t, 0] > 0.5 - camera_occlusion)
+                        if not visible:
+                            continue   # background noise only this frame
                     cy = int(pos[t, 1] * (image_hw - 1))
                     cx = int(pos[t, 0] * (image_hw - 1))
                     r = max(2, int(2 + pos[t, 2] * 6))

@@ -140,10 +140,11 @@ def _make_train_step(model, tx: optax.GradientTransformation,
     whole dataset as an HLO constant (rejected by remote compilers past
     ~100 MB and bloating every executable)."""
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, dropout_key):
         variables = {"params": params, "batch_stats": batch_stats}
         (pos, quat), mutated = model.apply(
-            variables, batch, train=True, mutable=["batch_stats"])
+            variables, batch, train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_key})
         loss, aux = pose_loss(
             pos, quat, batch["target_pos"], batch["target_quat"],
             pos_weight=cfg.pos_weight, rot_weight=cfg.rot_weight,
@@ -161,9 +162,13 @@ def _make_train_step(model, tx: optax.GradientTransformation,
 
             key = jax.random.fold_in(state.rng, state.step)
             batch = augment_batch_images(key, batch, **device_aug)
+        # distinct stream from the device-aug key (fold_in(rng, step));
+        # unused (and free) unless the model has dropout
+        dropout_key = jax.random.fold_in(
+            jax.random.fold_in(state.rng, 1), state.step)
         grad_fn = jax.grad(loss_fn, has_aux=True)
         grads, (aux, new_batch_stats) = grad_fn(
-            state.params, state.batch_stats, batch)
+            state.params, state.batch_stats, batch, dropout_key)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

@@ -103,11 +103,15 @@ class PoseEstimator(nn.Module):
                     feats.append(self._encoder(f"encoder_{cam}")(x, train))
 
         if cfg.use_proprio:
-            feats.append(
-                ProprioMLP(hidden=cfg.proprio_hidden,
-                           features=cfg.proprio_features, dtype=dtype,
-                           name="proprio")(batch["proprio"])
-            )
+            pf = ProprioMLP(hidden=cfg.proprio_hidden,
+                            features=cfg.proprio_features, dtype=dtype,
+                            name="proprio")(batch["proprio"])
+            if cfg.proprio_dropout > 0:
+                # regularize the proprio branch (cfg.proprio_dropout doc);
+                # rng provided by the train step as rngs={"dropout": ...}
+                pf = nn.Dropout(rate=cfg.proprio_dropout,
+                                deterministic=not train)(pf)
+            feats.append(pf)
 
         if not feats:
             raise ValueError("model has neither image nor proprio inputs")

@@ -1,25 +1,41 @@
 #!/usr/bin/env python
-"""Regenerate the accuracy artifact on the NON-LEAKY fixture (VERDICT r1
-weak-3 / next-3).
+"""Regenerate the accuracy artifacts on the NON-LEAKY fixtures (VERDICT r1
+weak-3; VERDICT r2 next-4/5/6).
 
-The r1 artifact was contaminated: the fixture copied pos/quat into the
-proprio vector, so "image-path accuracy" was unfalsifiable. The fixture
-now draws proprio as a smooth random walk independent of the target
-(data/hdf5_store.write_demo_fixture), and this script produces the table
-that isolates the image path:
+Core table (plain fixture: marker + orientation satellites, proprio an
+independent random walk):
 
-  row 1: image-only        (model.use_proprio=False)
-  row 2: image + proprio   (the full pr3 fusion; proprio is uninformative
-                            here, so parity with row 1 is the expectation)
-  row 3: proprio-only      (negative control -- must be ~chance, proving
-                            the fixture no longer leaks)
+  image-only               -- the image path in isolation
+  image+proprio            -- pr3 fusion; proprio uninformative here, so
+                              parity with image-only is the PASS bar
+  image+proprio (dropout)  -- model.proprio_dropout=0.5 on the same data:
+                              does regularizing the distractor branch
+                              close the small-data fusion gap?
+                              (VERDICT r2 weak-5 / next-6)
+  proprio-only (control)   -- negative control, must be ~chance
+  image+noisy-pose-proprio -- correlated (eef-pose-like) proprio: fusion
+                              must BEAT image-only
+
+pr5 feature rows (fixtures DESIGNED to need the feature, VERDICT r2
+next-4):
+
+  occlusion fixture (camera_occlusion=0.12: each camera blind on ~half
+  the workspace):
+    single-cam (occluded)  vs  dual-cam (occluded)
+  velocity fixture (velocity_alpha=1.0: pos label = marker +
+  velocity, unrecoverable from one frame):
+    single-frame (velocity) vs temporal-channel (velocity)
+                            vs temporal-lstm (velocity)
+
+pr4 row (VERDICT r2 next-5): resnet50 @ 224 bf16 (+remat) held-out MAE --
+the last acceptance-ladder rung with no accuracy evidence.
 
 Each row trains on the first (1 - val_fraction) demos and reports
 held-out (demo-granularity) pos/rot MAE from the best checkpoint.
 
 Usage:
   PYTHONPATH=/root/.axon_site:. python scripts/accuracy_artifact.py \
-      [--demos 40] [--steps 3000] [--out /tmp/rppe_acc]
+      [--demos 40] [--steps 3000] [--out /tmp/rppe_acc] [--rows a,b]
 """
 
 from __future__ import annotations
@@ -29,13 +45,51 @@ import json
 import os
 import shutil
 
+# fixture name -> extra write_demo_fixture kwargs
+FIXTURES = {
+    "plain": {},
+    "noisy": {"proprio_pose_noise": 0.05},
+    "occl": {"cameras": ("agentview", "robot0_eye_in_hand"),
+             "camera_occlusion": 0.12},
+    "vel": {"velocity_alpha": 1.0},
+}
+
 ROWS = {
     "image-only": {"model.use_proprio": False},
     "image+proprio": {},
+    "image+proprio (dropout)": {"model.proprio_dropout": 0.5},
     "proprio-only (control)": {"model.backbone": "none"},
     # realistic correlated proprio (eef-pose-like, sigma=0.05): fusion
     # should BEAT image-only here -- the case the architecture exists for
     "image+noisy-pose-proprio": {"_fixture": "noisy"},
+    # --- pr5: dual camera must help on per-camera-occluded data --------
+    "single-cam (occluded)": {"_fixture": "occl",
+                              "model.use_proprio": False},
+    "dual-cam (occluded)": {
+        "_fixture": "occl", "model.use_proprio": False,
+        "model.cameras": ("agentview", "robot0_eye_in_hand")},
+    # --- pr5: temporal stacking must help on velocity-labeled data -----
+    # (augment off: inter-frame marker displacement IS the signal; a
+    # per-frame random crop would corrupt it)
+    "single-frame (velocity)": {
+        "_fixture": "vel", "model.use_proprio": False,
+        "data.augment": False, "data.augment_device": False,
+        "data.crop_margin": 0},
+    "temporal-channel (velocity)": {
+        "_fixture": "vel", "model.use_proprio": False,
+        "model.temporal_frames": 3, "model.temporal_mode": "channel",
+        "data.augment": False, "data.augment_device": False,
+        "data.crop_margin": 0},
+    "temporal-lstm (velocity)": {
+        "_fixture": "vel", "model.use_proprio": False,
+        "model.temporal_frames": 3, "model.temporal_mode": "lstm",
+        "data.augment": False, "data.augment_device": False,
+        "data.crop_margin": 0},
+    # --- pr4: resnet50 @ 224 bf16 held-out MAE -------------------------
+    "resnet50-224-bf16 (pr4)": {
+        "model.backbone": "resnet50", "model.image_size": 224,
+        "model.dtype": "bfloat16", "model.remat": True,
+        "model.image_features": 1024},
 }
 
 
@@ -57,28 +111,28 @@ def main() -> None:
     )
 
     os.makedirs(args.out, exist_ok=True)
-    fixture = os.path.join(args.out, "demos.hdf5")
-    if not os.path.exists(fixture):
-        write_demo_fixture(fixture, n_demos=args.demos,
-                           steps=args.demo_steps, image_hw=args.image_hw,
-                           cameras=("agentview",), seed=7)
-    fixture_noisy = os.path.join(args.out, "demos_noisy.hdf5")
 
-    want = set(args.rows.split(",")) if args.rows else None
+    def fixture_path(fname: str) -> str:
+        path = os.path.join(args.out, f"demos_{fname}.hdf5")
+        if not os.path.exists(path):
+            kw = dict(FIXTURES[fname])
+            kw.setdefault("cameras", ("agentview",))
+            write_demo_fixture(path, n_demos=args.demos,
+                               steps=args.demo_steps,
+                               image_hw=args.image_hw, seed=7, **kw)
+        return path
+
+    want = set(r.strip() for r in args.rows.split(",")) if args.rows else None
+    results_path = os.path.join(args.out, "results.json")
     results = {}
+    if os.path.exists(results_path):   # accumulate across --rows invocations
+        with open(results_path) as f:
+            results = json.load(f)
     for name, over in ROWS.items():
         if want and name not in want:
             continue
         over = dict(over)
-        row_fixture = fixture
-        if over.pop("_fixture", None) == "noisy":
-            if not os.path.exists(fixture_noisy):
-                write_demo_fixture(
-                    fixture_noisy, n_demos=args.demos,
-                    steps=args.demo_steps, image_hw=args.image_hw,
-                    cameras=("agentview",), seed=7,
-                    proprio_pose_noise=0.05)
-            row_fixture = fixture_noisy
+        row_fixture = fixture_path(over.pop("_fixture", "plain"))
         ckpt_dir = os.path.join(args.out, name.split()[0].replace("+", "_"))
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         cfg = preset("pr3").override(**{
@@ -110,9 +164,9 @@ def main() -> None:
                          "steps": args.steps,
                          "held_out_demos": int(args.demos * 0.2)}
         print(json.dumps({name: results[name]}), flush=True)
+        with open(results_path, "w") as f:
+            json.dump(results, f, indent=2)
 
-    with open(os.path.join(args.out, "results.json"), "w") as f:
-        json.dump(results, f, indent=2)
     print(json.dumps(results))
 
 
