@@ -13,12 +13,16 @@ benchmarked separately in bench_input.py so this number isolates the
 compute path the north-star describes.
 
 The measured configuration is the tuned production config (every knob is
-a documented `Config` field or compile option, reproducible in training):
-  - train.steps_per_call=8: 8 optimizer steps per dispatch via lax.scan
+a documented `Config` field or compile option, reproducible in training;
+pr3/pr4/pr5 presets ship steps_per_call/stem_s2d/compiler_opts):
+  - batch 384/chip: r3 batch-sweep optimum (multiple of 128 tiles the
+    MXU; 27.9k vs 27.6k at 512 -- docs/DESIGN.md)
+  - train.steps_per_call=16: scanned multi-step dispatch
     (identical per-step numerics, tests/test_train_smoke.py) -- removes
     ~0.6 ms/step of host dispatch through the proxied backend
   - model.stem_s2d: space-to-depth stem (bit-equivalent, tests/test_fused_bn)
-  - xla_tpu_scoped_vmem_limit_kib=32768 (+3%, scripts/flag_sweep.py)
+  - xla_tpu_scoped_vmem_limit_kib=32768 (+3%, scripts/flag_sweep.py;
+    re-confirmed against 6 vmem values + combos in r3)
   - train.log_grad_norm=False (default): no per-leaf norm fan-in
 Three timed windows are run and the MEDIAN is reported (the tunneled v5e
 shows ~±2% run-to-run drift; window_ms carries all three for the record).
@@ -177,7 +181,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-per-chip", type=int, default=0,
                     help="per-chip batch size (0 = auto by backend)")
-    ap.add_argument("--steps", type=int, default=48,
+    ap.add_argument("--steps", type=int, default=64,
                     help="optimizer steps per timed window")
     ap.add_argument("--warmup", type=int, default=16)
     ap.add_argument("--windows", type=int, default=3)
@@ -193,9 +197,11 @@ def main() -> None:
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
-    # 512/chip measured best on v5e (batch sweep in docs/DESIGN.md)
-    per_chip = args.batch_per_chip or (512 if on_tpu else 16)
-    unroll = args.unroll or (8 if on_tpu else 1)
+    # 384/chip measured best on v5e (r3 batch sweep, docs/DESIGN.md:
+    # 27.9k img/s vs 27.6k at 512 -- batch multiples of 128 tile the MXU
+    # cleanly and 384 keeps the scoped-vmem working set resident)
+    per_chip = args.batch_per_chip or (384 if on_tpu else 16)
+    unroll = args.unroll or (16 if on_tpu else 1)
     tuned = not args.no_tuned
 
     # tracked bench runs FIRST (running the resnet50 line beforehand was
