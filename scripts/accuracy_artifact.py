@@ -58,7 +58,10 @@ ROWS = {
     "image-only": {"model.use_proprio": False},
     "image+proprio": {},
     "image+proprio (dropout)": {"model.proprio_dropout": 0.5},
-    "proprio-only (control)": {"model.backbone": "none"},
+    # no images -> nothing to device-cache (build_dataset validates)
+    "proprio-only (control)": {"model.backbone": "none",
+                               "data.device_cache": False,
+                               "data.augment_device": False},
     # realistic correlated proprio (eef-pose-like, sigma=0.05): fusion
     # should BEAT image-only here -- the case the architecture exists for
     "image+noisy-pose-proprio": {"_fixture": "noisy"},

@@ -93,3 +93,21 @@ for n in ('pr1','pr2','pr3','pr4','pr5')]"
         assert on_disk == json.loads(preset(name).to_json()), (
             f"cfg/{name}.json has drifted from preset({name!r}); "
             "regenerate it (see docstring)")
+
+
+def test_compiler_opts_filtered_off_tpu():
+    """Presets carry TPU compile options; the CPU backend must get them
+    stripped (it rejects unknown options at compile time), non-TPU
+    options must survive, and empty in -> None out."""
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        filter_compiler_options,
+    )
+
+    assert filter_compiler_options(None) is None
+    assert filter_compiler_options({}) is None
+    # conftest pins the cpu backend
+    assert filter_compiler_options(
+        {"xla_tpu_scoped_vmem_limit_kib": "32768"}) is None
+    out = filter_compiler_options(
+        {"xla_tpu_scoped_vmem_limit_kib": "32768", "other_opt": "1"})
+    assert out == {"other_opt": "1"}
