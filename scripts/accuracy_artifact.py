@@ -51,7 +51,12 @@ FIXTURES = {
     "noisy": {"proprio_pose_noise": 0.05},
     "occl": {"cameras": ("agentview", "robot0_eye_in_hand"),
              "camera_occlusion": 0.12},
-    "vel": {"velocity_alpha": 1.0},
+    # alpha=3: the velocity term contributes ~7 cm to the single-frame
+    # floor -- it must DOMINATE the temporal models' small-data
+    # generalization penalty (~2-3 cm at 40 demos), or the comparison
+    # measures regularization, not temporal capability (alpha=1 measured
+    # exactly that: single-frame 11.98 vs temporal 12.5-14.1)
+    "vel": {"velocity_alpha": 3.0},
 }
 
 ROWS = {
@@ -65,6 +70,10 @@ ROWS = {
     # realistic correlated proprio (eef-pose-like, sigma=0.05): fusion
     # should BEAT image-only here -- the case the architecture exists for
     "image+noisy-pose-proprio": {"_fixture": "noisy"},
+    # informative-proprio case with the branch regularized: small-data
+    # guidance row (does dropout preserve the fusion win too?)
+    "image+noisy-pose-proprio (dropout)": {
+        "_fixture": "noisy", "model.proprio_dropout": 0.5},
     # --- pr5: dual camera must help on per-camera-occluded data --------
     "single-cam (occluded)": {"_fixture": "occl",
                               "model.use_proprio": False},
