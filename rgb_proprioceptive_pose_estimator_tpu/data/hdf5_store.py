@@ -590,11 +590,18 @@ def write_demo_fixture(
             quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
 
             # velocity-extrapolated label (see param doc): `pos` is the
-            # RENDERED marker walk m; the label adds alpha * velocity
+            # RENDERED marker walk m; the label adds alpha * velocity on
+            # the IMAGE-PLANE coordinates (x, y) only -- z is rendered as
+            # a radius quantized to whole pixels (~0.17 resolution vs the
+            # 0.03 walk step), so z-velocity would be unobservable and
+            # merely add identical irreducible error to every model,
+            # masking the single-frame vs temporal comparison the fixture
+            # exists to make
             label_pos = pos
             if velocity_alpha > 0:
                 prev = np.vstack([pos[0:1], pos[:-1]])
-                label_pos = pos + velocity_alpha * (pos - prev)
+                label_pos = pos.copy()
+                label_pos[:, :2] += velocity_alpha * (pos - prev)[:, :2]
 
             obj = np.zeros((steps, 14), np.float32)
             obj[:, :3] = label_pos
