@@ -215,7 +215,17 @@ def main() -> None:
     r["vs_baseline"] = round(r["value"] / BASELINE_IMG_PER_SEC_PER_CHIP, 4)
 
     if not args.skip_extra and on_tpu:
-        # informational: config-4 (ResNet-50, 224x224, bf16)
+        # informational: config-4 (ResNet-50, 224x224, bf16). Soft-bounded
+        # at 10 minutes via SIGALRM so a slow remote compile here can
+        # never starve the tracked line (printed last, parsed by the
+        # driver) of its chance to print before any outer timeout.
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError("informational line exceeded 600s")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(600)
         try:
             extra = bench_config("pr4", 224, "bfloat16",
                                  per_chip=min(per_chip, 128),
@@ -228,6 +238,9 @@ def main() -> None:
         except Exception as e:   # never let the extra line kill the bench
             print(json.dumps({"metric": "resnet50 informational line",
                               "error": repr(e)[:200]}), flush=True)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     print(json.dumps(r))
 
