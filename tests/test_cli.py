@@ -111,3 +111,22 @@ def test_compiler_opts_filtered_off_tpu():
     out = filter_compiler_options(
         {"xla_tpu_scoped_vmem_limit_kib": "32768", "other_opt": "1"})
     assert out == {"other_opt": "1"}
+
+
+def test_presets_internally_consistent():
+    """Every preset must pass fit()'s static validations by construction:
+    cadences divisible by steps_per_call, batch divisible by the declared
+    device count, tuned knobs only where they apply."""
+    from rgb_proprioceptive_pose_estimator_tpu.config import PRESETS, preset
+
+    for name in PRESETS:
+        cfg = preset(name)
+        spc = max(cfg.train.steps_per_call, 1)
+        for field in ("log_every", "eval_every", "ckpt_every", "steps"):
+            v = getattr(cfg.train, field)
+            assert v % spc == 0, (name, field, v, spc)
+        n_dev = cfg.dist.num_devices or 1
+        assert cfg.data.batch_size % n_dev == 0, (name, cfg.data.batch_size)
+        # pallas BN never ships in a multi-device preset (fit() would raise)
+        if n_dev > 1:
+            assert cfg.model.bn_stats != "pallas", name
