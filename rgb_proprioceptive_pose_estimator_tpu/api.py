@@ -26,6 +26,7 @@ from rgb_proprioceptive_pose_estimator_tpu.engine.loop import (
 )
 from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
 from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+    frozen_prefixes_for,
     make_eval_step,
     make_optimizer,
     make_predict_fn,
@@ -42,7 +43,9 @@ def train(cfg: Config) -> Dict[str, Any]:
 
 def _restore(cfg: Config, ckpt_dir: Optional[str], step: Optional[int]):
     model = build_model(cfg.model)
-    tx = make_optimizer(cfg.train)
+    # same freeze mask as fit(): optax.masked changes the opt-state tree,
+    # so the restore template must match the training-time structure
+    tx = make_optimizer(cfg.train, frozen_prefixes_for(cfg))
     template = create_state(cfg, tx, seed=cfg.train.seed)
     mngr = CheckpointManager(ckpt_dir or cfg.train.ckpt_dir,
                              keep=cfg.train.ckpt_keep, async_save=False)

@@ -68,6 +68,14 @@ class ModelConfig:
     # rematerialize residual blocks (jax.checkpoint): trades recompute FLOPs
     # for activation HBM -- enables bigger per-chip batches at 224x224
     remat: bool = False
+    # finetune mode: exclude the image encoder(s) (params under
+    # encoder_<camera>/ and lstm_<camera>/) from optimization via
+    # optax.masked -- correct under weight decay (adamw's decay term must
+    # not touch frozen params, which a zero-grad hack would). BN running
+    # statistics in the frozen encoder STILL update during training (the
+    # standard finetune caveat; freeze + stats-drift is torch behavior
+    # too). Typically combined with utils.torch_import pretrained weights.
+    freeze_backbone: bool = False
     # BatchNorm semantics: torch momentum 0.1 == flax momentum 0.9
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5

@@ -24,6 +24,7 @@ from rgb_proprioceptive_pose_estimator_tpu.engine.state import (
     create_state,
 )
 from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+    frozen_prefixes_for,
     make_eval_step,
     make_lr_schedule,
     make_optimizer,
@@ -115,7 +116,7 @@ def fit(cfg: Config) -> Dict[str, Any]:
     rsh = pmesh.replicated_sharding(mesh)
 
     model = build_model(cfg.model)
-    tx = make_optimizer(tcfg)
+    tx = make_optimizer(tcfg, frozen_prefixes_for(cfg))
     state = create_state(cfg, tx, seed=tcfg.seed)
     state = jax.device_put(state, rsh)
 

@@ -48,7 +48,14 @@ def make_lr_schedule(cfg: TrainConfig):
     return lambda step: cfg.lr
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: TrainConfig,
+                   frozen_prefixes: Tuple[str, ...] = ()
+                   ) -> optax.GradientTransformation:
+    """`frozen_prefixes`: top-level param-tree keys with these prefixes
+    are excluded from optimization (optax.masked) -- model.freeze_backbone
+    passes ("encoder_", "lstm_"). The mask must be identical at tx.init
+    and restore time (MaskedState changes the opt-state structure), which
+    is why it is derived from config, not discovered dynamically."""
     lr = make_lr_schedule(cfg)
 
     if cfg.optimizer == "adam":
@@ -62,6 +69,31 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if frozen_prefixes:
+        if cfg.flat_optimizer:
+            # flatten ravels the whole tree into one vector; a tree-mask
+            # cannot compose with it
+            raise ValueError(
+                "model.freeze_backbone is incompatible with "
+                "train.flat_optimizer (optax.flatten erases the tree "
+                "structure the freeze mask needs)")
+
+        # NOT optax.masked: masked passes the masked-out leaves through
+        # UNCHANGED, i.e. the raw gradient would become the "update" and
+        # apply_updates would add it to the frozen params (measured:
+        # divergence in 4 steps). multi_transform routes frozen leaves to
+        # set_to_zero, which is the actual freeze semantics.
+        def labels(updates):
+            return {
+                k: jax.tree.map(
+                    lambda _: ("frozen" if any(k.startswith(p)
+                                               for p in frozen_prefixes)
+                               else "train"), v)
+                for k, v in updates.items()
+            }
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels)
     if cfg.flat_optimizer:
         # run the update on one flattened vector instead of ~60 per-leaf
         # ops: turns the optimizer tail of tiny kernels into a few
@@ -74,6 +106,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         # the logical step) applies every N calls of the jitted step
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx
+
+
+def frozen_prefixes_for(cfg: Config) -> Tuple[str, ...]:
+    """Param-tree prefixes model.freeze_backbone excludes from training."""
+    return ("encoder_", "lstm_") if cfg.model.freeze_backbone else ()
 
 
 def filter_compiler_options(opts: Optional[Dict[str, str]]

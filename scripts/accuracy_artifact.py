@@ -155,7 +155,10 @@ def main() -> None:
             "data.crop_margin": 4,
             "data.device_cache": True,   # train from HBM (6.9x end-to-end)
             "train.steps": args.steps,
-            "train.steps_per_call": 1,      # host-bound anyway on this box
+            # spc=1: the eval/log cadences here aren't multiples of 8 and
+            # accuracy rows don't need the throughput (spc=8 is the fast
+            # path for production runs -- docs/DESIGN.md device-cache)
+            "train.steps_per_call": 1,
             "train.lr": 3e-4,
             "train.lr_schedule": "cosine",
             "train.warmup_steps": 100,

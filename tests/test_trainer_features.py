@@ -114,3 +114,68 @@ def test_lr_logged_and_scheduled(tmp_path):
     sched = make_lr_schedule(cfg.train)
     assert float(sched(10)) == pytest.approx(1e-2, rel=1e-3)
     assert float(sched(30)) < float(sched(15))
+
+
+def test_freeze_backbone_finetune(tmp_path, demo_h5):
+    """model.freeze_backbone: encoder params bitwise-frozen (including
+    under adamw weight decay, which a zero-grad hack would violate),
+    head/proprio params train, resume round-trips the masked opt state."""
+    import jax
+    import numpy as np
+
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+
+    cfg = rppe.preset("pr2").override(**{
+        "model.image_size": 32,
+        "model.image_features": 32,
+        "model.head_hidden": [32],
+        "model.freeze_backbone": True,
+        "data.path": demo_h5,
+        "data.batch_size": 8,
+        "data.num_workers": 0,
+        "train.steps": 6,
+        "train.optimizer": "adamw",
+        "train.weight_decay": 0.1,      # large: any decay leak is visible
+        "train.log_every": 3,
+        "train.eval_every": 0,
+        "train.ckpt_every": 6,
+        "train.ckpt_dir": str(tmp_path / "frz"),
+    })
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        frozen_prefixes_for,
+        make_optimizer,
+    )
+
+    tx = make_optimizer(cfg.train, frozen_prefixes_for(cfg))
+    init = create_state(cfg, tx, seed=cfg.train.seed)
+    out = rppe.train(cfg)
+    p0, p1 = init.params, out["state"].params
+    for k in p1:
+        leaves0 = jax.tree.leaves(p0[k])
+        leaves1 = jax.tree.leaves(p1[k])
+        if k.startswith("encoder_"):
+            for a, b in zip(leaves0, leaves1):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            assert any(
+                not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(leaves0, leaves1)), f"{k} did not train"
+    # restore path rebuilds the masked opt-state structure
+    ev = rppe.evaluate(cfg, max_batches=1)
+    assert np.isfinite(ev["pos_mae_cm"])
+
+
+def test_freeze_backbone_rejects_flat_optimizer():
+    import pytest
+
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        frozen_prefixes_for,
+        make_optimizer,
+    )
+
+    cfg = rppe.preset("pr2").override(**{
+        "model.freeze_backbone": True, "train.flat_optimizer": True})
+    with pytest.raises(ValueError, match="flat_optimizer"):
+        make_optimizer(cfg.train, frozen_prefixes_for(cfg))
