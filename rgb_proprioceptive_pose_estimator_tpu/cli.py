@@ -51,7 +51,8 @@ def load_config(args) -> Config:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rppe")
     ap.add_argument("command",
-                    choices=["train", "eval", "predict", "config", "presets"])
+                    choices=["train", "eval", "predict", "export", "config",
+                             "presets"])
     ap.add_argument("--preset", default="pr1", choices=sorted(PRESETS))
     ap.add_argument("--config", default="", help="JSON config file")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
@@ -63,6 +64,12 @@ def main(argv=None) -> int:
                     help="predict: demo index in data.path")
     ap.add_argument("--t", type=int, default=-1,
                     help="predict: timestep (-1 = all steps of the demo)")
+    ap.add_argument("--out", default="pose.rppe",
+                    help="export: artifact output path")
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="export: compiled batch size of the artifact")
+    ap.add_argument("--quantize", default="none", choices=["none", "int8"],
+                    help="export: weight-only int8 quantization")
     args = ap.parse_args(argv)
 
     if args.command == "presets":
@@ -86,6 +93,26 @@ def main(argv=None) -> int:
         m = rppe.evaluate(cfg, ckpt_dir=args.ckpt_dir or None,
                           step=args.step or None)
         print(json.dumps(m, indent=2))
+        return 0
+
+    if args.command == "export":
+        # checkpoint -> self-contained StableHLO serving artifact
+        # (utils/export.py; load with utils.export.load_predictor)
+        import os
+
+        from rgb_proprioceptive_pose_estimator_tpu.utils.export import (
+            export_predictor,
+        )
+
+        path = export_predictor(args.out, cfg,
+                                ckpt_dir=args.ckpt_dir or None,
+                                step=args.step or None,
+                                max_batch=args.max_batch,
+                                quantize=args.quantize)
+        print(json.dumps({"exported": path,
+                          "bytes": os.path.getsize(path),
+                          "max_batch": args.max_batch,
+                          "quantize": args.quantize}))
         return 0
 
     if args.command == "predict":

@@ -130,3 +130,36 @@ def test_presets_internally_consistent():
         # pallas BN never ships in a multi-device preset (fit() would raise)
         if n_dev > 1:
             assert cfg.model.bn_stats != "pallas", name
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """cli export writes a loadable artifact from a trained checkpoint."""
+    import numpy as np
+
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+    from rgb_proprioceptive_pose_estimator_tpu.cli import main
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        example_batch,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.utils.export import (
+        load_predictor,
+    )
+
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 4, "train.log_every": 2, "train.eval_every": 0,
+        "train.ckpt_every": 4, "data.batch_size": 16,
+        "data.synthetic_size": 64,
+        "train.ckpt_dir": str(tmp_path / "ck"),
+    })
+    rppe.train(cfg)
+    art = str(tmp_path / "pose.rppe")
+    rc = main(["export", "--preset", "pr1",
+               "--set", f"train.ckpt_dir={cfg.train.ckpt_dir}",
+               "--set", "data.synthetic_size=64",
+               "--set", "data.batch_size=16",
+               "--out", art, "--max-batch", "4"])
+    assert rc == 0
+    serve = load_predictor(art)
+    b = example_batch(cfg.model, batch_size=2)
+    pos, quat = serve({"proprio": b["proprio"]})
+    assert pos.shape == (2, 3) and np.all(np.isfinite(pos))
