@@ -23,7 +23,7 @@ class ModelConfig:
     """Model architecture (BASELINE.json:5 -- CNN backbone + proprio MLP,
     late-fused by concat into a shared pose-regression head)."""
 
-    # one of: "none" (proprio-only), "cnn_small", "resnet18", "resnet50"
+    # one of: "none" (proprio-only), "cnn_small", "resnet18", "resnet34", "resnet50"
     backbone: str = "resnet18"
     # cameras used as image inputs; one encoder per camera (BASELINE.json:11)
     cameras: Tuple[str, ...] = ("agentview",)
@@ -70,8 +70,8 @@ class ModelConfig:
     remat: bool = False
     # finetune mode: exclude the image encoder(s) (params under
     # encoder_<camera>/ and lstm_<camera>/) from optimization via
-    # optax.masked -- correct under weight decay (adamw's decay term must
-    # not touch frozen params, which a zero-grad hack would). BN running
+    # optax.multi_transform + set_to_zero -- correct under weight decay
+    # (adamw's decay term must not touch frozen params). BN running
     # statistics in the frozen encoder STILL update during training (the
     # standard finetune caveat; freeze + stats-drift is torch behavior
     # too). Typically combined with utils.torch_import pretrained weights.
@@ -87,7 +87,7 @@ class ModelConfig:
         # validate string enums: a typo'd value silently selecting a
         # default would train the wrong architecture/precision
         _check_enum("model.backbone", self.backbone,
-                    ("none", "cnn_small", "resnet18", "resnet50"))
+                    ("none", "cnn_small", "resnet18", "resnet34", "resnet50"))
         _check_enum("model.dtype", self.dtype, ("float32", "bfloat16"))
         _check_enum("model.bn_stats", self.bn_stats,
                     ("reduce", "matmul", "pallas"))

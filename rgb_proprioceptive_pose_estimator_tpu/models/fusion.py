@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from rgb_proprioceptive_pose_estimator_tpu.config import ModelConfig
 from rgb_proprioceptive_pose_estimator_tpu.models.cnn_small import CNNSmall
 from rgb_proprioceptive_pose_estimator_tpu.models.proprio_mlp import ProprioMLP
-from rgb_proprioceptive_pose_estimator_tpu.models.resnet import ResNet18, ResNet50
+from rgb_proprioceptive_pose_estimator_tpu.models.resnet import (
+    ResNet18,
+    ResNet34,
+    ResNet50,
+)
 from rgb_proprioceptive_pose_estimator_tpu.ops.image_device import normalize_images
 from rgb_proprioceptive_pose_estimator_tpu.ops.pose_math import quat_normalize
 
@@ -58,6 +62,10 @@ class PoseEstimator(nn.Module):
                             bn_stats=cfg.bn_stats, name=name)
         if cfg.backbone == "resnet18":
             return ResNet18(features=cfg.image_features, dtype=dtype,
+                            use_pallas=cfg.use_pallas, bn_stats=cfg.bn_stats,
+                            stem_s2d=cfg.stem_s2d, remat=cfg.remat, name=name)
+        if cfg.backbone == "resnet34":
+            return ResNet34(features=cfg.image_features, dtype=dtype,
                             use_pallas=cfg.use_pallas, bn_stats=cfg.bn_stats,
                             stem_s2d=cfg.stem_s2d, remat=cfg.remat, name=name)
         if cfg.backbone == "resnet50":

@@ -200,6 +200,16 @@ def ResNet18(features: int = 512, dtype: Any = jnp.float32,
                   stem_s2d=stem_s2d, remat=remat, name=name)
 
 
+def ResNet34(features: int = 512, dtype: Any = jnp.float32,
+             use_pallas: bool = False, bn_stats: str = "reduce",
+             stem_s2d: bool = False, remat: bool = False,
+             name=None) -> ResNet:
+    """torchvision resnet34 topology: BasicBlock x (3, 4, 6, 3)."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), block="basic", features=features,
+                  dtype=dtype, use_pallas=use_pallas, bn_stats=bn_stats,
+                  stem_s2d=stem_s2d, remat=remat, name=name)
+
+
 def ResNet50(features: int = 1024, dtype: Any = jnp.float32,
              use_pallas: bool = False, bn_stats: str = "reduce",
              stem_s2d: bool = False, remat: bool = False,

@@ -25,8 +25,9 @@ from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
-_STAGES = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
-_CONVS = {"resnet18": 2, "resnet50": 3}
+_STAGES = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+           "resnet50": (3, 4, 6, 3)}
+_CONVS = {"resnet18": 2, "resnet34": 2, "resnet50": 3}
 
 
 def _np(x) -> np.ndarray:

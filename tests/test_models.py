@@ -138,3 +138,35 @@ def test_remat_forward_and_grad():
     g = jax.grad(loss)(variables["params"])
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree.leaves(g))
+
+
+def test_resnet34_backbone():
+    """ResNet-34: torchvision topology (BasicBlock x 3,4,6,3), wired
+    through config/fusion/torch-import."""
+    import jax
+    import numpy as np
+
+    from rgb_proprioceptive_pose_estimator_tpu.config import ModelConfig
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model,
+        example_batch,
+    )
+
+    cfg = ModelConfig(backbone="resnet34", image_size=64, use_proprio=False,
+                      image_features=128, head_hidden=(64,))
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=2)
+    v = model.init(jax.random.PRNGKey(0), batch, train=False)
+    enc = v["params"]["encoder_agentview"]
+    # stage sizes 3/4/6/3
+    for stage, n in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        blocks = [k for k in enc if k.startswith(f"stage{stage}_block")]
+        assert len(blocks) == n, (stage, sorted(blocks))
+    # basic blocks (2 convs), not bottleneck
+    assert "conv3" not in enc["stage1_block0"]
+    n_params = sum(np.asarray(l).size for l in jax.tree.leaves(enc))
+    # torchvision resnet34 backbone (no fc) = 21.28M; ours adds the
+    # proj head (512*128 + 128)
+    assert abs(n_params - (21_284_672 + 512 * 128 + 128)) < 10_000, n_params
+    pos, quat = model.apply(v, batch, train=False)
+    assert pos.shape == (2, 3) and quat.shape == (2, 4)
