@@ -39,6 +39,13 @@ class ModelConfig:
     # VERDICT r2 weak-5); dropping the branch's features forces the head
     # to keep the image path load-bearing.
     proprio_dropout: float = 0.0
+    # z-score the proprio vector with train-split statistics (robomimic-
+    # style obs normalization). fit() computes per-dim mean/std from the
+    # training data and stores them in the model's batch_stats collection,
+    # so checkpoints / exports / Predictor all apply the same affine with
+    # no extra plumbing. Off by default (raw-state parity with the
+    # reference's plain MLP branch, BASELINE.json:5).
+    proprio_normalize: bool = False
     image_features: int = 512      # image embedding width (per camera)
     head_hidden: Tuple[int, ...] = (512, 256)
     # temporal stacking: number of recent frames stacked as input

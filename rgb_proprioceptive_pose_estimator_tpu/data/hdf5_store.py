@@ -336,6 +336,19 @@ class HDF5DemoStore:
     def __len__(self) -> int:
         return len(self._index)
 
+    def proprio_stats(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-dim (mean, std) of the proprio vectors in THIS split
+        (model.proprio_normalize; fit() computes on the train split so the
+        val/test path reuses training statistics). std is floored at 1e-6
+        so constant dims normalize to 0 instead of inf."""
+        if self._proprio_flat is None:
+            raise ValueError("dataset has no proprio data "
+                             "(use_proprio=False)")
+        p = self._proprio_flat.reshape(-1, self._proprio_flat.shape[-1])
+        return (p.mean(0, dtype=np.float64).astype(np.float32),
+                np.maximum(p.std(0, dtype=np.float64), 1e-6)
+                .astype(np.float32))
+
     # -- batch assembly (runs inside pipeline worker threads) ----------------
 
     def get_batch(self, indices: np.ndarray, augment: bool = False,

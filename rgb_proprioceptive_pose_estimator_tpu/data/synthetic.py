@@ -52,6 +52,14 @@ class SyntheticProprioDataset:
     def __len__(self) -> int:
         return self.size
 
+    def proprio_stats(self):
+        """Per-dim (mean, std) of this split's state vectors (floor 1e-6),
+        same contract as HDF5DemoStore.proprio_stats."""
+        s = self._states.reshape(-1, self._states.shape[-1])
+        return (s.mean(0, dtype=np.float64).astype(np.float32),
+                np.maximum(s.std(0, dtype=np.float64), 1e-6)
+                .astype(np.float32))
+
     def get_batch(self, indices: np.ndarray, augment: bool = False,
                   seed: int = 0) -> Dict[str, np.ndarray]:
         return {

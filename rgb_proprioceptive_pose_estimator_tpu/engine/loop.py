@@ -12,6 +12,7 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rgb_proprioceptive_pose_estimator_tpu.config import Config
@@ -122,6 +123,20 @@ def fit(cfg: Config) -> Dict[str, Any]:
 
     has_val = cfg.data.val_fraction > 0
     dataset = build_dataset(cfg, split="train" if has_val else "all")
+    if cfg.model.use_proprio and cfg.model.proprio_normalize:
+        # write train-split obs-normalization stats into the model's
+        # batch_stats (the ProprioMLP variables exist from init with
+        # identity values). A checkpoint restore below overwrites the whole
+        # state, so resumed runs keep the stats their params were trained
+        # with rather than recomputing from a possibly different dataset.
+        mean, std = dataset.proprio_stats()
+        bs = dict(state.batch_stats)
+        pr = dict(bs["proprio"])
+        pr["proprio_mean"] = jnp.asarray(mean)
+        pr["proprio_std"] = jnp.asarray(std)
+        bs["proprio"] = pr
+        state = state.replace(batch_stats=bs)
+        state = jax.device_put(state, rsh)
     eval_ds = build_dataset(cfg, split="val") if has_val else dataset
     train_pipe = HostPipeline(dataset, cfg.data, sharding=bsh, train=True)
     # eval batch shrinks to the held-out split if it is small (still a

@@ -113,6 +113,7 @@ class PoseEstimator(nn.Module):
         if cfg.use_proprio:
             pf = ProprioMLP(hidden=cfg.proprio_hidden,
                             features=cfg.proprio_features, dtype=dtype,
+                            normalize=cfg.proprio_normalize,
                             name="proprio")(batch["proprio"])
             if cfg.proprio_dropout > 0:
                 # regularize the proprio branch (cfg.proprio_dropout doc);

@@ -31,6 +31,13 @@ class CheckpointManager:
                 max_to_keep=keep,
                 enable_async_checkpointing=async_save,
             ),
+            # register both items up front: partial restores (e.g.
+            # restore_data's JSON-only read) otherwise emit a spurious
+            # "Item ... could not be restored" warning per unrequested item
+            item_handlers={
+                "state": ocp.StandardCheckpointHandler(),
+                "data": ocp.JsonCheckpointHandler(),
+            },
         )
 
     def save(self, step: int, state: TrainState,

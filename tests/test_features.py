@@ -143,7 +143,7 @@ def test_torch_import_roundtrip():
 
 def test_torch_import_rejects_bad_arch():
     with pytest.raises(ValueError):
-        import_torch_resnet({}, "resnet34")
+        import_torch_resnet({}, "resnet101")
 
 
 def test_torch_import_shape_mismatch_raises():

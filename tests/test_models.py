@@ -170,3 +170,51 @@ def test_resnet34_backbone():
     assert abs(n_params - (21_284_672 + 512 * 128 + 128)) < 10_000, n_params
     pos, quat = model.apply(v, batch, train=False)
     assert pos.shape == (2, 3) and quat.shape == (2, 4)
+
+
+def test_proprio_normalize_affine():
+    """model.proprio_normalize: (s - mean) / std with dataset stats stored
+    in batch_stats; identity until fit() writes stats."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from rgb_proprioceptive_pose_estimator_tpu.config import ModelConfig
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model,
+        example_batch,
+    )
+
+    cfg_n = ModelConfig(backbone="none", cameras=(), use_proprio=True,
+                        proprio_dim=6, proprio_hidden=(16,),
+                        proprio_features=8, head_hidden=(8,),
+                        proprio_normalize=True)
+    cfg_r = dataclasses.replace(cfg_n, proprio_normalize=False)
+    m_n, m_r = build_model(cfg_n), build_model(cfg_r)
+    batch = example_batch(cfg_n, batch_size=4, rng=3)
+    v = m_n.init(jax.random.PRNGKey(0), batch, train=False)
+    assert set(v["batch_stats"]["proprio"]) == {"proprio_mean",
+                                                "proprio_std"}
+
+    # identity stats (the init values): same output as a normalize-off
+    # model sharing the params
+    pos_id, quat_id = m_n.apply(v, batch, train=False)
+    pos_r, quat_r = m_r.apply({"params": v["params"]}, batch, train=False)
+    np.testing.assert_allclose(np.asarray(pos_id), np.asarray(pos_r),
+                               rtol=1e-6)
+
+    # real stats == feeding the manually standardized vector to the
+    # normalize-off model
+    mean = np.arange(6, dtype=np.float32)
+    std = np.linspace(0.5, 2.0, 6).astype(np.float32)
+    bs = {"proprio": {"proprio_mean": mean, "proprio_std": std}}
+    pos_n, quat_n = m_n.apply({"params": v["params"], "batch_stats": bs},
+                              batch, train=False)
+    manual = dict(batch)
+    manual["proprio"] = (batch["proprio"] - mean) / std
+    pos_m, quat_m = m_r.apply({"params": v["params"]}, manual, train=False)
+    np.testing.assert_allclose(np.asarray(pos_n), np.asarray(pos_m),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(quat_n), np.asarray(quat_m),
+                               rtol=1e-5, atol=1e-5)

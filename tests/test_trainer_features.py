@@ -179,3 +179,32 @@ def test_freeze_backbone_rejects_flat_optimizer():
         "model.freeze_backbone": True, "train.flat_optimizer": True})
     with pytest.raises(ValueError, match="flat_optimizer"):
         make_optimizer(cfg.train, frozen_prefixes_for(cfg))
+
+
+def test_proprio_normalize_e2e(tmp_path):
+    """model.proprio_normalize: fit() writes train-split stats into
+    batch_stats; the checkpoint carries them into evaluate() (no separate
+    stats file -- they live with the params)."""
+    from rgb_proprioceptive_pose_estimator_tpu.data.pipeline import (
+        build_dataset,
+    )
+
+    cfg = rppe.preset("pr1").override(**{
+        "model.proprio_normalize": True,
+        "data.synthetic_size": 256,
+        "data.val_fraction": 0.25,
+        "train.steps": 4,
+        "train.eval_every": 0,
+        "train.eval_steps": 0,
+        "train.ckpt_every": 4,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+    })
+    out = rppe.train(cfg)
+    bs = jax.device_get(out["state"].batch_stats)["proprio"]
+    mean, std = build_dataset(cfg, split="train").proprio_stats()
+    np.testing.assert_allclose(bs["proprio_mean"], mean, rtol=1e-5)
+    np.testing.assert_allclose(bs["proprio_std"], std, rtol=1e-5)
+    assert float(np.abs(mean).max()) > 0  # real stats, not the identity
+
+    ev = rppe.evaluate(cfg, split="val")
+    assert np.isfinite(ev["pos_mae_cm"]) and np.isfinite(ev["rot_mae_deg"])

@@ -89,7 +89,7 @@ def test_config_rejects_unknown_section_and_bad_enums():
     with pytest.raises(ValueError, match="temporal_mode"):
         ModelConfig(temporal_mode="LSTM")
     with pytest.raises(ValueError, match="backbone"):
-        ModelConfig(backbone="resnet34")
+        ModelConfig(backbone="resnet101")
 
 
 def test_config_r2_field_validation():
