@@ -99,3 +99,38 @@ def test_int8_export_smaller_and_accurate(trained, tmp_path):
 def test_int8_export_rejects_unknown_mode(trained, tmp_path):
     with pytest.raises(ValueError):
         export_predictor(str(tmp_path / "x.rppe"), trained, quantize="int4")
+
+
+def test_export_carries_proprio_norm_stats(tmp_path):
+    """proprio_normalize stats live in batch_stats, so the StableHLO export
+    bakes them in: exported output == in-process Predictor, and both differ
+    from an (incorrectly) unnormalized forward."""
+    ckpt = str(tmp_path / "ckpt")
+    cfg = rppe.preset("pr1").override(**{
+        "model.proprio_normalize": True,
+        "train.steps": 8,
+        "train.eval_every": 0,
+        "train.ckpt_every": 8,
+        "train.log_every": 100,
+        "train.ckpt_dir": ckpt,
+        "data.synthetic_size": 128,
+    })
+    rppe.train(cfg)
+
+    path = export_predictor(str(tmp_path / "pose.rppe"), cfg, max_batch=2)
+    serve = load_predictor(path)
+    rs = np.random.RandomState(1)
+    batch = {"proprio": rs.randn(2, cfg.model.proprio_dim)
+             .astype(np.float32) * 5.0 + 3.0}
+    pos_e, quat_e = serve(batch)
+    pred = rppe.Predictor(cfg, max_batch=2)
+    pos_p, quat_p = pred(dict(batch))
+    np.testing.assert_allclose(pos_e, pos_p, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(quat_e, quat_p, rtol=1e-5, atol=1e-5)
+
+    # a normalize-trained checkpoint must NOT load with normalize off:
+    # silently skipping the affine would corrupt every prediction, so the
+    # structure mismatch fails loudly at restore time
+    cfg_raw = cfg.override(**{"model.proprio_normalize": False})
+    with pytest.raises(ValueError, match="do not match"):
+        rppe.Predictor(cfg_raw, max_batch=2)
