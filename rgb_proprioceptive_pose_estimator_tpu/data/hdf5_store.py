@@ -559,6 +559,10 @@ def write_demo_fixture(
     # orientation label stays single-frame-learnable (satellites render
     # the label quat itself).
     velocity_alpha: float = 0.0,
+    # per-dim multiplier on the stored proprio vector (scalar or (D,) --
+    # e.g. np.logspace(-2, 3, D) for mixed-unit raw robot state); the
+    # model.proprio_normalize demonstration fixture. None/1.0 = off.
+    proprio_scale=None,
 ) -> str:
     """Write a tiny robomimic-layout HDF5 demo file whose images are
     *informative*: a bright marker is drawn at the pixel projection of the
@@ -697,6 +701,14 @@ def write_demo_fixture(
                 else:
                     raise ValueError(
                         f"encoding must be raw/jpeg/png, got {encoding!r}")
+            if proprio_scale is not None:
+                # ill-conditioned raw units (radians next to millimeters
+                # next to raw encoder counts): per-dim multiplier on the
+                # STORED vector only; labels and correlation structure are
+                # untouched (the scaling is invertible). The
+                # model.proprio_normalize artifact rows train on this.
+                proprio = proprio * np.asarray(proprio_scale,
+                                               np.float32).reshape(1, -1)
             obs.create_dataset("robot0_proprio-state", data=proprio)
             obs.create_dataset("object", data=obj)
             g.create_dataset("actions", data=rs.randn(steps, 7).astype(np.float32))

@@ -45,6 +45,8 @@ import json
 import os
 import shutil
 
+import numpy as np
+
 # fixture name -> extra write_demo_fixture kwargs
 FIXTURES = {
     "plain": {},
@@ -57,6 +59,11 @@ FIXTURES = {
     # measures regularization, not temporal capability (alpha=1 measured
     # exactly that: single-frame 11.98 vs temporal 12.5-14.1)
     "vel": {"velocity_alpha": 3.0},
+    # correlated eef-pose-like proprio in ill-conditioned raw units
+    # (per-dim scales 1e-2..1e3, informative dims :7 at the SMALL end):
+    # the model.proprio_normalize rows
+    "scaled": {"proprio_pose_noise": 0.05,
+               "proprio_scale": tuple(np.logspace(-2.0, 3.0, 32))},
 }
 
 ROWS = {
@@ -97,6 +104,13 @@ ROWS = {
         "model.temporal_frames": 3, "model.temporal_mode": "lstm",
         "data.augment": False, "data.augment_device": False,
         "data.crop_margin": 0},
+    # --- model.proprio_normalize: raw mixed-unit proprio vs z-scored ---
+    # (informative eef-pose dims sit at scale 1e-2 next to 1e3-scale
+    # distractor dims; normalization must recover the fusion win the
+    # "noisy" fixture shows at unit scale)
+    "image+scaled-proprio (raw)": {"_fixture": "scaled"},
+    "image+scaled-proprio (normalized)": {
+        "_fixture": "scaled", "model.proprio_normalize": True},
     # --- pr4: resnet50 @ 224 bf16 held-out MAE -------------------------
     "resnet50-224-bf16 (pr4)": {
         "model.backbone": "resnet50", "model.image_size": 224,

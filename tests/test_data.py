@@ -395,3 +395,33 @@ def test_vectorized_param_sampler_properties():
     assert (pb["contrast"] == 0).all()      # disabled component stays 0
     sat_on = pb["saturation"] > 0
     np.testing.assert_array_equal(sat_on, on)   # one jitter on/off gate
+
+
+def test_fixture_proprio_scale(tmp_path):
+    """write_demo_fixture(proprio_scale=...): per-dim multiplier on the
+    stored proprio only (labels untouched); proprio_stats() sees it."""
+    import numpy as np
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        HDF5DemoStore,
+        write_demo_fixture,
+    )
+
+    scale = np.logspace(-1.0, 2.0, 8).astype(np.float32)
+    a = str(tmp_path / "a.hdf5")
+    b = str(tmp_path / "b.hdf5")
+    write_demo_fixture(a, n_demos=2, steps=10, image_hw=32, proprio_dim=8,
+                       cameras=("agentview",), seed=3)
+    write_demo_fixture(b, n_demos=2, steps=10, image_hw=32, proprio_dim=8,
+                       cameras=("agentview",), seed=3, proprio_scale=scale)
+    sa = HDF5DemoStore(a, cameras=("agentview",), image_size=32)
+    sb = HDF5DemoStore(b, cameras=("agentview",), image_size=32)
+    idx = np.arange(4)
+    ba, bb = sa.get_batch(idx), sb.get_batch(idx)
+    np.testing.assert_allclose(bb["proprio"], ba["proprio"] * scale,
+                               rtol=1e-6)
+    np.testing.assert_allclose(bb["target_pos"], ba["target_pos"])
+    ma, _ = sa.proprio_stats()
+    mb, stdb = sb.proprio_stats()
+    np.testing.assert_allclose(mb, ma * scale, rtol=1e-5, atol=1e-6)
+    assert stdb[-1] > stdb[0] * 100  # the scale really is per-dim
