@@ -6,6 +6,7 @@ Usage:
     python -m rgb_proprioceptive_pose_estimator_tpu.cli eval \
         --preset pr3 --set train.ckpt_dir=/tmp/ckpt
     python -m rgb_proprioceptive_pose_estimator_tpu.cli config --preset pr4
+    python -m rgb_proprioceptive_pose_estimator_tpu.cli info --preset pr5
 """
 
 from __future__ import annotations
@@ -52,7 +53,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rppe")
     ap.add_argument("command",
                     choices=["train", "eval", "predict", "export", "config",
-                             "presets"])
+                             "presets", "info"])
     ap.add_argument("--preset", default="pr1", choices=sorted(PRESETS))
     ap.add_argument("--config", default="", help="JSON config file")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
@@ -80,6 +81,44 @@ def main(argv=None) -> int:
     cfg = load_config(args)
     if args.command == "config":
         print(cfg.to_json())
+        return 0
+
+    if args.command == "info":
+        # model summary without touching an accelerator or running any
+        # compute: jax.eval_shape traces the initializer abstractly, so
+        # this is instant even for resnet50 @224 on a 1-core host
+        import jax
+        import numpy as np
+
+        from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+            build_model,
+            example_batch,
+        )
+
+        model = build_model(cfg.model)
+        batch = example_batch(cfg.model, batch_size=1)
+        shapes = jax.eval_shape(
+            lambda r, b: model.init(r, b, train=False),
+            jax.random.PRNGKey(0), batch)
+
+        def n_elems(tree) -> int:
+            return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(tree))
+
+        per = {k: n_elems(v) for k, v in sorted(shapes["params"].items())}
+        total = sum(per.values())
+        print(json.dumps({
+            "name": cfg.name,
+            "backbone": cfg.model.backbone,
+            "cameras": list(cfg.model.cameras),
+            "image_size": cfg.model.image_size,
+            "temporal_frames": cfg.model.temporal_frames,
+            "compute_dtype": cfg.model.dtype,
+            "inputs": jax.tree.map(lambda x: list(x.shape), batch),
+            "params_total": total,
+            "params_mib_f32": round(total * 4 / 2**20, 2),
+            "params_by_module": per,
+            "batch_stats_elems": n_elems(shapes.get("batch_stats", {})),
+        }, indent=2))
         return 0
 
     import rgb_proprioceptive_pose_estimator_tpu as rppe

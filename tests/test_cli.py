@@ -163,3 +163,23 @@ def test_cli_export_roundtrip(tmp_path):
     b = example_batch(cfg.model, batch_size=2)
     pos, quat = serve({"proprio": b["proprio"]})
     assert pos.shape == (2, 3) and np.all(np.isfinite(pos))
+
+
+def test_info_subcommand(capsys):
+    """cli info: abstract (eval_shape) model summary -- no compute, exact
+    param counts."""
+    import json
+
+    assert main(["info", "--preset", "pr3"]) == 0
+    d = json.loads(capsys.readouterr().out)
+    # torchvision resnet18 backbone (no fc) 11.18M + 512x512 proj head
+    assert d["params_by_module"]["encoder_agentview"] == 11_439_168
+    assert d["params_total"] == sum(d["params_by_module"].values())
+    assert d["inputs"]["images"]["agentview"] == [1, 128, 128, 3]
+
+    # dual-cam temporal preset: two encoders + lstm heads appear
+    assert main(["info", "--preset", "pr5"]) == 0
+    d5 = json.loads(capsys.readouterr().out)
+    mods = set(d5["params_by_module"])
+    assert {"encoder_agentview", "encoder_robot0_eye_in_hand"} <= mods
+    assert d5["inputs"]["images"]["agentview"] == [1, 3, 128, 128, 3]
