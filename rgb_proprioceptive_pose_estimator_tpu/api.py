@@ -58,20 +58,30 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
              step: Optional[int] = None,
              max_batches: int = 0,
              split: str = "auto",
-             data_path: Optional[str] = None) -> Dict[str, float]:
+             data_path: Optional[str] = None,
+             per_demo: bool = False) -> Dict[str, Any]:
     """Restore a checkpoint and report metrics (pos MAE cm / rot MAE deg,
     BASELINE.json:2) over the eval transform pipeline (no augmentation).
 
     split="auto" evaluates the held-out split when cfg.data.val_fraction
     is set, else the full dataset (the reference research-repo behavior).
     data_path evaluates a different demo file than the training config
-    (e.g. a held-out demo collection); it implies split="all"."""
+    (e.g. a held-out demo collection); it implies split="all".
+
+    per_demo=True (hdf5 source only) adds a "per_demo" dict keyed by the
+    demo's HDF5 group name with that trajectory's pos/rot MAE and length —
+    the which-trajectories-fail diagnostic a robot stack wants. Scored
+    through the fixed-shape Predictor path (padded chunks, no
+    recompiles)."""
     if data_path is not None:
         cfg = cfg.override(**{"data.path": data_path,
                               "data.source": "hdf5",
                               "data.val_fraction": 0.0})
         if split == "auto":
             split = "all"
+    if per_demo and cfg.data.source != "hdf5":
+        raise ValueError("evaluate(per_demo=True) requires an hdf5 "
+                         "data source (demos are HDF5 trajectories)")
     if split == "auto":
         split = "val" if cfg.data.val_fraction > 0 else "all"
     if split == "val" and cfg.data.val_fraction <= 0:
@@ -111,6 +121,30 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
                             image_cache=eval_cache)
     out["step"] = got_step
     pipe.close()
+
+    if per_demo:
+        from rgb_proprioceptive_pose_estimator_tpu.losses.pose import (
+            pose_metrics,
+        )
+
+        # raw-observation path: get_batch must return pixels, not
+        # device-cache gather indices
+        dataset.emit_image_indices = False
+        demo_ids = dataset._index[:, 0]
+        pred = Predictor(cfg, state=state, model=model,
+                         max_batch=min(64, len(dataset)))
+        rows: Dict[str, Dict[str, float]] = {}
+        for di, key in enumerate(dataset._demo_keys):
+            flat = np.nonzero(demo_ids == di)[0]
+            batch = dataset.get_batch(flat, augment=False, seed=0)
+            tpos = batch.pop("target_pos")
+            tquat = batch.pop("target_quat")
+            pos, quat = pred(batch)
+            m = pose_metrics(pos, quat, tpos, tquat)
+            rows[key] = {"pos_mae_cm": round(float(m["pos_mae_cm"]), 3),
+                         "rot_mae_deg": round(float(m["rot_mae_deg"]), 3),
+                         "steps": int(flat.size)}
+        out["per_demo"] = rows
     return out
 
 

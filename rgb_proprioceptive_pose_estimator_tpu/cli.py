@@ -71,6 +71,9 @@ def main(argv=None) -> int:
                     help="export: compiled batch size of the artifact")
     ap.add_argument("--quantize", default="none", choices=["none", "int8"],
                     help="export: weight-only int8 quantization")
+    ap.add_argument("--per-demo", action="store_true",
+                    help="eval: add a per-trajectory MAE breakdown "
+                         "(hdf5 source only)")
     args = ap.parse_args(argv)
 
     if args.command == "presets":
@@ -130,7 +133,7 @@ def main(argv=None) -> int:
 
     if args.command == "eval":
         m = rppe.evaluate(cfg, ckpt_dir=args.ckpt_dir or None,
-                          step=args.step or None)
+                          step=args.step or None, per_demo=args.per_demo)
         print(json.dumps(m, indent=2))
         return 0
 

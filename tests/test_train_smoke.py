@@ -290,3 +290,47 @@ def test_stack_microbatches_is_cached():
     assert after.hits == before.hits + 1
     assert out["x"].shape == (2, 4, 2)
     np.testing.assert_allclose(np.asarray(out["x"][1]), 1.0)
+
+
+def test_evaluate_per_demo(tmp_path, demo_h5):
+    """evaluate(per_demo=True): one MAE row per HDF5 trajectory; the
+    sample-weighted mean of the rows matches the aggregate metric."""
+    import numpy as np
+
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+
+    cfg = rppe.preset("pr2").override(**{
+        "model.backbone": "cnn_small",
+        "model.proprio_dim": 16,
+        "model.image_size": 64,
+        "model.image_features": 32,
+        "model.head_hidden": (32,),
+        "data.path": demo_h5,
+        "data.batch_size": 12,   # divides the 60 eval samples: the
+        # aggregate pipeline then covers every sample exactly once, so
+        # the per-demo rows must recombine to it
+        "dist.num_devices": 4,   # 12 % 4 == 0 on the fake 8-dev mesh
+        "data.num_workers": 0,
+        "train.steps": 4,
+        "train.eval_every": 0,
+        "train.log_every": 8,
+        "train.ckpt_every": 4,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+    })
+    rppe.train(cfg)
+    out = rppe.evaluate(cfg, per_demo=True)
+    rows = out["per_demo"]
+    assert set(rows) == {"demo_0", "demo_1", "demo_2"}
+    assert all(r["steps"] == 20 for r in rows.values())
+    # demo rows recombine to the aggregate (same eval transform, full
+    # dataset, mean over samples)
+    n = sum(r["steps"] for r in rows.values())
+    pos = sum(r["pos_mae_cm"] * r["steps"] for r in rows.values()) / n
+    np.testing.assert_allclose(pos, out["pos_mae_cm"], rtol=1e-3)
+
+    # synthetic source: loud error, not a silent missing key
+    cfg_syn = rppe.preset("pr1").override(**{
+        "train.ckpt_dir": str(tmp_path / "ckpt2")})
+    import pytest
+    with pytest.raises(ValueError, match="hdf5"):
+        rppe.evaluate(cfg_syn, per_demo=True)
