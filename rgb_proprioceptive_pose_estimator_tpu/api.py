@@ -219,7 +219,7 @@ class Predictor:
         pos_parts, quat_parts = [], []
         for lo in range(0, total, self.max_batch):
             chunk = jax.tree.map(lambda x: x[lo:lo + self.max_batch], batch)
-            p, q = self._fn(self.state.variables(), chunk)
+            p, q = self._fn(self.state.eval_variables(), chunk)
             pos_parts.append(np.asarray(p, dtype=np.float32))
             quat_parts.append(np.asarray(q, dtype=np.float32))
         pos = np.concatenate(pos_parts)[:n]

@@ -247,6 +247,14 @@ class TrainConfig:
     rot_weight: float = 1.0
     rot_loss: str = "chordal"      # "chordal" (1-<q,q'>^2) | "geodesic"
     seed: int = 0
+    # exponential moving average of the float32 parameters, updated inside
+    # the jitted step (ema = d*ema + (1-d)*params; initialized to the
+    # initial params, so no bias correction is needed). 0 = off. When on,
+    # EVERY evaluation consumer -- periodic eval during fit(), evaluate(),
+    # Predictor, StableHLO export -- uses the EMA weights
+    # (TrainState.eval_variables); training gradients always flow through
+    # the raw params. Costs one extra f32 param copy in HBM.
+    ema_decay: float = 0.0
     # include the global gradient norm in train metrics. Off by default:
     # it costs a per-leaf reduction fan-in every step (~0.3 ms/step on
     # v5e at pr3 scale) and the reference logged nothing comparable.
@@ -269,6 +277,17 @@ class TrainConfig:
     profile_dir: str = ""
     profile_start: int = 10        # first profiled step
     profile_steps: int = 5         # trace window length
+
+    def __post_init__(self):
+        _check_enum("train.optimizer", self.optimizer,
+                    ("adam", "adamw", "sgd"))
+        _check_enum("train.lr_schedule", self.lr_schedule,
+                    ("constant", "cosine"))
+        _check_enum("train.rot_loss", self.rot_loss,
+                    ("chordal", "geodesic"))
+        if not (0.0 <= self.ema_decay < 1.0):
+            raise ValueError(
+                f"train.ema_decay must be in [0, 1), got {self.ema_decay}")
 
 
 @dataclass

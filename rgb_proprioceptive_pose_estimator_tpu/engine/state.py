@@ -28,9 +28,19 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     rng: jax.Array                  # base PRNG key (device-side augment)
+    # EMA of params (train.ema_decay > 0); None = off. None is an empty
+    # pytree subtree, so checkpoints/jit/donation all pass through it.
+    ema_params: Any = None
 
     def variables(self) -> Dict[str, Any]:
         return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def eval_variables(self) -> Dict[str, Any]:
+        """Variables every evaluation consumer (eval step, Predictor,
+        export) should apply: the EMA weights when train.ema_decay is on,
+        else the raw params."""
+        p = self.params if self.ema_params is None else self.ema_params
+        return {"params": p, "batch_stats": self.batch_stats}
 
 
 def create_state(cfg: Config, tx: optax.GradientTransformation,
@@ -45,10 +55,16 @@ def create_state(cfg: Config, tx: optax.GradientTransformation,
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
+    # EMA starts AT the initial params (not zeros), so no bias correction
+    # term is needed. Deep copy: the state is donated every step, and two
+    # tree leaves aliasing one buffer must not both be donated.
+    ema = (jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+           if cfg.train.ema_decay > 0 else None)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
         rng=jax.random.PRNGKey(seed ^ 0xA46),
+        ema_params=ema,
     )

@@ -208,12 +208,21 @@ def _make_train_step(model, tx: optax.GradientTransformation,
             state.params, state.batch_stats, batch, dropout_key)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if cfg.ema_decay > 0:
+            # one fused elementwise pass over the f32 params; under
+            # flat_optimizer the tree is still per-leaf here (flatten only
+            # wraps the optimizer transform)
+            d = cfg.ema_decay
+            new_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                   state.ema_params, new_params)
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
             rng=state.rng,
+            ema_params=new_ema,
         )
         metrics = dict(aux)
         if cfg.log_grad_norm:
@@ -281,7 +290,8 @@ def make_eval_step(model, cfg: TrainConfig) -> Callable:
              ) -> Dict[str, jax.Array]:
         if image_cache is not None and "image_idx" in batch:
             batch = gather_cached_images(image_cache, batch)
-        pos, quat = model.apply(state.variables(), batch, train=False)
+        # eval_variables: EMA weights when train.ema_decay is on
+        pos, quat = model.apply(state.eval_variables(), batch, train=False)
         _, aux = pose_loss(
             pos, quat, batch["target_pos"], batch["target_quat"],
             pos_weight=cfg.pos_weight, rot_weight=cfg.rot_weight,

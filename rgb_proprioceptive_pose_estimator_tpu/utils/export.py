@@ -97,7 +97,9 @@ def export_predictor(path: str, cfg: Config, state=None,
     if model is None:
         model = build_model(cfg.model)
 
-    variables = jax.device_get(state.variables())
+    # eval_variables: exports serve the EMA weights when train.ema_decay
+    # was on (same weights evaluate()/Predictor apply)
+    variables = jax.device_get(state.eval_variables())
 
     qparams = None
     if quantize == "int8":

@@ -181,6 +181,88 @@ def test_freeze_backbone_rejects_flat_optimizer():
         make_optimizer(cfg.train, frozen_prefixes_for(cfg))
 
 
+def test_ema_params_math():
+    """train.ema_decay: state.ema_params tracks the exact per-step EMA of
+    the parameter trajectory (init at params, no bias correction)."""
+    from rgb_proprioceptive_pose_estimator_tpu.config import (
+        Config, ModelConfig,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_optimizer, make_train_step,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model, example_batch,
+    )
+
+    mcfg = ModelConfig(backbone="none", cameras=(), use_proprio=True,
+                       proprio_dim=8, proprio_hidden=(16,),
+                       proprio_features=8, head_hidden=(16,))
+    cfg = Config(model=mcfg,
+                 train=TrainConfig(optimizer="sgd", lr=1e-2, ema_decay=0.8))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    state = create_state(cfg, tx, seed=0)
+    step = make_train_step(model, tx, cfg.train)
+
+    expected = jax.device_get(state.params)
+    for i in range(3):
+        batch = example_batch(mcfg, batch_size=16, rng=i)
+        state, _ = step(state, batch)
+        p = jax.device_get(state.params)
+        expected = jax.tree.map(lambda e, q: 0.8 * e + 0.2 * q, expected, p)
+    got = jax.device_get(state.ema_params)
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_ema_e2e_eval_uses_ema(tmp_path):
+    """fit() with ema_decay: the EMA survives the checkpoint round-trip,
+    and evaluate()/Predictor apply the EMA weights, not the raw params."""
+    from rgb_proprioceptive_pose_estimator_tpu.api import Predictor, _restore
+
+    cfg = rppe.preset("pr1").override(**{
+        "train.ema_decay": 0.995,   # slow EMA: stays far from the raw
+        # params over 40 steps, so EMA-vs-raw outputs must differ
+        "train.steps": 40,
+        "train.eval_every": 20,
+        "train.eval_steps": 2,
+        "train.ckpt_every": 40,
+        "train.log_every": 40,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "data.synthetic_size": 256,
+    })
+    out = rppe.train(cfg)
+    st = out["state"]
+    assert st.ema_params is not None
+    # EMA lags the trained params
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(st.params),
+                        jax.tree.leaves(st.ema_params)))
+
+    # checkpoint round-trip carries the EMA (template has the ema slot)
+    _, restored, _ = _restore(cfg, None, None)
+    for a, b in zip(jax.tree.leaves(st.ema_params),
+                    jax.tree.leaves(restored.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Predictor output changes when the EMA is stripped -> it applies EMA
+    obs = {"proprio": np.linspace(-1, 1, 32).astype(np.float32)}
+    pos_ema, _ = Predictor(cfg, state=st, model=out["model"])(obs)
+    pos_raw, _ = Predictor(cfg, state=st.replace(ema_params=None),
+                           model=out["model"])(obs)
+    assert not np.allclose(pos_ema, pos_raw)
+
+    ev = rppe.evaluate(cfg)
+    assert np.isfinite(ev["pos_mae_cm"]) and np.isfinite(ev["rot_mae_deg"])
+
+
+def test_ema_decay_validated():
+    with pytest.raises(ValueError, match="ema_decay"):
+        rppe.preset("pr1").override(**{"train.ema_decay": 1.0})
+
+
 def test_proprio_normalize_e2e(tmp_path):
     """model.proprio_normalize: fit() writes train-split stats into
     batch_stats; the checkpoint carries them into evaluate() (no separate
