@@ -222,7 +222,13 @@ class TrainConfig:
     lr: float = 1e-3
     weight_decay: float = 0.0
     warmup_steps: int = 0
-    lr_schedule: str = "constant"  # "constant" | "cosine"
+    lr_schedule: str = "constant"  # "constant" | "cosine" | "multistep"
+    # multistep schedule (torch MultiStepLR semantics): at each milestone
+    # in lr_decay_steps (units of `steps`, i.e. micro-steps) the lr is
+    # multiplied by lr_decay_rate; steps >= milestone run at the decayed
+    # rate. Composes with warmup_steps (linear ramp to the current tier).
+    lr_decay_steps: Tuple[int, ...] = ()
+    lr_decay_rate: float = 0.1
     grad_clip: float = 0.0         # 0 = off
     # accumulate gradients over N micro-batches before each update
     # (effective batch = N * data.batch_size; optax.MultiSteps)
@@ -262,6 +268,14 @@ class TrainConfig:
     log_every: int = 50
     eval_every: int = 500
     eval_steps: int = 16           # batches per eval pass
+    # stop training when the early-stop metric (train.ckpt_best_metric if
+    # set, else eval "loss") fails to improve by more than
+    # early_stop_min_delta for this many CONSECUTIVE evaluations. 0 = off.
+    # Requires eval_every > 0 (validated in fit()). The final checkpoint is
+    # written at the stop step; metrics carry "early_stopped_at". Patience
+    # state is in-run only: a resumed run starts its patience fresh.
+    early_stop_patience: int = 0
+    early_stop_min_delta: float = 0.0
     ckpt_every: int = 500
     ckpt_dir: str = "/tmp/rppe_ckpt"
     ckpt_keep: int = 3
@@ -282,12 +296,28 @@ class TrainConfig:
         _check_enum("train.optimizer", self.optimizer,
                     ("adam", "adamw", "sgd"))
         _check_enum("train.lr_schedule", self.lr_schedule,
-                    ("constant", "cosine"))
+                    ("constant", "cosine", "multistep"))
         _check_enum("train.rot_loss", self.rot_loss,
                     ("chordal", "geodesic"))
         if not (0.0 <= self.ema_decay < 1.0):
             raise ValueError(
                 f"train.ema_decay must be in [0, 1), got {self.ema_decay}")
+        if self.lr_schedule == "multistep":
+            ms = tuple(self.lr_decay_steps)
+            if not ms or any(m <= 0 for m in ms) or list(ms) != sorted(ms):
+                raise ValueError(
+                    "train.lr_schedule='multistep' needs "
+                    "train.lr_decay_steps to be a non-empty increasing "
+                    f"tuple of positive steps, got {self.lr_decay_steps}")
+            if not (0.0 < self.lr_decay_rate <= 1.0):
+                raise ValueError(
+                    f"train.lr_decay_rate must be in (0, 1], got "
+                    f"{self.lr_decay_rate}")
+        if self.early_stop_patience < 0 or self.early_stop_min_delta < 0:
+            raise ValueError(
+                "train.early_stop_patience/early_stop_min_delta must be "
+                f"non-negative, got {self.early_stop_patience}/"
+                f"{self.early_stop_min_delta}")
 
 
 @dataclass

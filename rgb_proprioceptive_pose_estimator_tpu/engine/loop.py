@@ -159,6 +159,10 @@ def fit(cfg: Config) -> Dict[str, Any]:
         raise ValueError(
             "train.ckpt_best_metric requires train.eval_every > 0 "
             "(best tracking selects on eval metrics)")
+    if tcfg.early_stop_patience and not tcfg.eval_every:
+        raise ValueError(
+            "train.early_stop_patience requires train.eval_every > 0 "
+            "(patience counts evaluations)")
     if tcfg.resume not in ("auto", "none") and ckpt.latest_step() is None:
         raise FileNotFoundError(
             f"train.resume={tcfg.resume!r} but {tcfg.ckpt_dir} contains no "
@@ -238,6 +242,12 @@ def fit(cfg: Config) -> Dict[str, Any]:
 
     last_metrics: Dict[str, float] = {}
     last_saved = None                 # steps this run has checkpointed
+    # early stopping (train.early_stop_patience): consecutive evals without
+    # a > min_delta improvement on the early-stop metric
+    es_metric = tcfg.ckpt_best_metric or "loss"
+    es_best = float("inf")
+    es_stale = 0
+    stopped_at: Optional[int] = None
     # steps a PREVIOUS run left on disk (explicit-step resume may re-reach
     # them; orbax refuses duplicate-step saves, so delete-then-save)
     preexisting_steps = set(ckpt.all_steps()) if start_step else set()
@@ -312,6 +322,17 @@ def fit(cfg: Config) -> Dict[str, Any]:
                         step1, state,
                         data_state={"best_val": float(v),
                                     **train_pipe.state_dict()})
+            if tcfg.early_stop_patience:
+                v = em.get(es_metric)
+                if v is None:
+                    raise KeyError(
+                        f"early-stop metric {es_metric!r} not in eval "
+                        f"metrics {sorted(em)}")
+                if float(v) < es_best - tcfg.early_stop_min_delta:
+                    es_best = float(v)
+                    es_stale = 0
+                elif (es_stale := es_stale + 1) >= tcfg.early_stop_patience:
+                    stopped_at = step1
             # don't bill eval time to train throughput
             t_log = time.perf_counter()
             log_anchor = step1
@@ -325,13 +346,20 @@ def fit(cfg: Config) -> Dict[str, Any]:
             ckpt.save(step1, state, data_state=train_pipe.state_dict())
             last_saved = step1
 
-    # final save: skip when the cadence already saved this step (the save
-    # may still be async-in-flight -- a second save would collide) and when
-    # resuming an already-completed run (the step exists on disk).
-    if start_step < tcfg.steps and last_saved != tcfg.steps:
-        if tcfg.steps in preexisting_steps:
-            ckpt.delete(tcfg.steps)   # explicit-step resume past an old run
-        ckpt.save(tcfg.steps, state, data_state=train_pipe.state_dict())
+        if stopped_at is not None:
+            last_metrics["early_stopped_at"] = float(stopped_at)
+            break
+
+    # final save at the last step actually run (== tcfg.steps unless early
+    # stopping broke out). Skip when the cadence already saved this step
+    # (the save may still be async-in-flight -- a second save would
+    # collide) and when resuming an already-completed run (the step exists
+    # on disk).
+    final_step = stopped_at if stopped_at is not None else tcfg.steps
+    if start_step < final_step and last_saved != final_step:
+        if final_step in preexisting_steps:
+            ckpt.delete(final_step)   # explicit-step resume past an old run
+        ckpt.save(final_step, state, data_state=train_pipe.state_dict())
     ckpt.wait()
     if best_ckpt is not None:
         best_ckpt.wait()

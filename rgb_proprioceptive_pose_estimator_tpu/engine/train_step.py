@@ -43,6 +43,24 @@ def make_lr_schedule(cfg: TrainConfig):
             warmup_steps=max(warmup, 1),
             decay_steps=max(total, warmup + 1),
         )
+    if cfg.lr_schedule == "multistep":
+        # torch MultiStepLR semantics: updates >= milestone run at
+        # lr * rate^(milestones passed). Written as a closure over a jnp
+        # comparison (not optax.piecewise_constant_schedule) so the
+        # milestone boundary is inclusive like torch's and composes with
+        # warmup without join_schedules' step-rebasing.
+        bounds = jnp.asarray(
+            [-(-m // accum) for m in cfg.lr_decay_steps], jnp.int32)
+
+        def multistep(count):
+            n = jnp.sum(jnp.asarray(count) >= bounds).astype(jnp.float32)
+            v = cfg.lr * jnp.power(cfg.lr_decay_rate, n)
+            if warmup > 0:
+                v = v * jnp.minimum(jnp.asarray(count, jnp.float32)
+                                    / warmup, 1.0)
+            return v
+
+        return multistep
     if warmup > 0:
         return optax.linear_schedule(0.0, cfg.lr, warmup)
     return lambda step: cfg.lr

@@ -290,3 +290,75 @@ def test_proprio_normalize_e2e(tmp_path):
 
     ev = rppe.evaluate(cfg, split="val")
     assert np.isfinite(ev["pos_mae_cm"]) and np.isfinite(ev["rot_mae_deg"])
+
+
+def test_multistep_lr_schedule():
+    """train.lr_schedule='multistep': torch MultiStepLR semantics (updates
+    >= milestone run at lr*rate^k), in optimizer-update units under
+    grad_accum, composed with linear warmup."""
+    cfg = TrainConfig(lr=1.0, lr_schedule="multistep",
+                      lr_decay_steps=(10, 20), lr_decay_rate=0.1)
+    s = make_lr_schedule(cfg)
+    got = [float(s(c)) for c in (0, 9, 10, 19, 20, 25)]
+    np.testing.assert_allclose(got, [1.0, 1.0, 0.1, 0.1, 0.01, 0.01],
+                               rtol=1e-6)
+
+    # milestones are configured in micro-steps: grad_accum=2 halves them
+    # (ceil) in update units
+    cfg2 = TrainConfig(lr=1.0, lr_schedule="multistep",
+                       lr_decay_steps=(10,), lr_decay_rate=0.5, grad_accum=2)
+    s2 = make_lr_schedule(cfg2)
+    assert float(s2(4)) == 1.0 and float(s2(5)) == 0.5
+
+    # warmup ramps toward the CURRENT tier
+    cfg3 = TrainConfig(lr=1.0, lr_schedule="multistep", warmup_steps=4,
+                       lr_decay_steps=(100,), lr_decay_rate=0.1)
+    s3 = make_lr_schedule(cfg3)
+    np.testing.assert_allclose(
+        [float(s3(c)) for c in (0, 1, 2, 4, 8)],
+        [0.0, 0.25, 0.5, 1.0, 1.0], rtol=1e-6)
+
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        TrainConfig(lr_schedule="multistep")
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        TrainConfig(lr_schedule="multistep", lr_decay_steps=(20, 10))
+    with pytest.raises(ValueError, match="lr_decay_rate"):
+        TrainConfig(lr_schedule="multistep", lr_decay_steps=(10,),
+                    lr_decay_rate=0.0)
+
+
+def test_early_stopping(tmp_path):
+    """train.early_stop_patience: with lr=0 the eval metric can never
+    improve after the first eval, so training stops after `patience`
+    stale evals and checkpoints the stop step."""
+    cfg = rppe.preset("pr1").override(**{
+        "train.lr": 0.0,               # frozen params -> eval never improves
+        "train.steps": 200,
+        "train.eval_every": 20,
+        "train.eval_steps": 0,         # full-epoch eval: deterministic, no
+                                       # rotating-window noise in the metric
+        "train.early_stop_patience": 2,
+        "train.ckpt_every": 0,
+        "train.log_every": 200,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "data.synthetic_size": 128,
+    })
+    out = rppe.train(cfg)
+    # eval@20 sets best; evals @40, @60 are stale -> stop at 60
+    assert out["metrics"]["early_stopped_at"] == 60.0
+
+    # the final checkpoint is at the stop step and is restorable
+    from rgb_proprioceptive_pose_estimator_tpu.utils.checkpoint import (
+        CheckpointManager,
+    )
+    assert CheckpointManager(cfg.train.ckpt_dir).latest_step() == 60
+    ev = rppe.evaluate(cfg)
+    assert ev["step"] == 60
+    assert np.isfinite(ev["pos_mae_cm"])
+
+
+def test_early_stop_requires_eval():
+    cfg = rppe.preset("pr1").override(**{
+        "train.early_stop_patience": 3, "train.eval_every": 0})
+    with pytest.raises(ValueError, match="early_stop_patience"):
+        rppe.train(cfg)
