@@ -108,7 +108,11 @@ class DataConfig:
     ingestion, async host pipeline so the TPU never stalls)."""
 
     source: str = "synthetic"      # "synthetic" | "hdf5"
-    path: str = ""                 # HDF5 file path when source == "hdf5"
+    # HDF5 file(s) when source == "hdf5": one path, a comma-separated
+    # list, and/or glob patterns ("/data/lift*.hdf5,/data/can.hdf5") --
+    # demos from all files concatenate into one dataset
+    # (data/hdf5_store.expand_paths)
+    path: str = ""
     batch_size: int = 64           # GLOBAL batch size (split across chips)
     # held-out fraction for eval (hdf5: by demo; synthetic: by index).
     # 0 = eval on the training data (reference research-repo behavior).

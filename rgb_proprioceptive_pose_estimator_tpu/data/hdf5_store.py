@@ -12,13 +12,19 @@ Layout read (SURVEY.md section 4.4, robomimic convention):
 
 Indexing is flat over (demo, t) pairs. Temporal stacking (C11) gathers the
 T most recent frames with clamp-at-episode-start padding. h5py handles are
-per-thread (h5py is not safe across threads on a shared handle --
+per-(thread, file) (h5py is not safe across threads on a shared handle --
 SURVEY.md section 4.4); small tensors (proprio, targets) are cached in RAM
 at init, images optionally (`cache_images`).
+
+`path` may name several demo files (comma list and/or glob patterns, see
+expand_paths); their demos concatenate into one dataset, split at demo
+granularity across the whole collection.
 """
 
 from __future__ import annotations
 
+import glob as _glob
+import os
 import re
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -31,6 +37,35 @@ from rgb_proprioceptive_pose_estimator_tpu.data import augment as aug
 
 def _natural_key(s: str):
     return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", s)]
+
+
+def expand_paths(spec) -> List[str]:
+    """data.path may name several demo files: a comma-separated list and/or
+    glob patterns ("/data/lift*.hdf5,/data/can.hdf5"), or a sequence of
+    such strings. Each glob expands sorted (natural order); a token that
+    matches nothing is an error (a silent empty dataset is worse)."""
+    tokens: List[str] = []
+    for part in ([spec] if isinstance(spec, (str, os.PathLike)) else spec):
+        tokens.extend(t.strip() for t in str(part).split(",") if t.strip())
+    out: List[str] = []
+    for tok in tokens:
+        if _glob.has_magic(tok):
+            hits = sorted(_glob.glob(tok), key=_natural_key)
+            if not hits:
+                raise FileNotFoundError(
+                    f"data.path pattern {tok!r} matches no files")
+            out.extend(hits)
+        else:
+            out.append(tok)
+    if not out:
+        raise ValueError(f"data.path {spec!r} names no files")
+    # duplicates (e.g. a file named both explicitly and via a glob) would
+    # silently double its demos in the dataset
+    seen = set()
+    dup = [p for p in out if p in seen or seen.add(p)]
+    if dup:
+        raise ValueError(f"data.path lists files more than once: {dup}")
+    return out
 
 
 class HDF5DemoStore:
@@ -67,7 +102,8 @@ class HDF5DemoStore:
         jitter_hue: float = 0.0,
         jitter_prob: float = 0.8,
     ):
-        self.path = path
+        self.path = path                  # the spec as configured
+        self.paths = expand_paths(path)   # resolved file list
         self.cameras = tuple(cameras)
         self.image_size = image_size
         self.temporal_frames = temporal_frames
@@ -106,17 +142,33 @@ class HDF5DemoStore:
         # VERDICT r1 missing-3); must be uniform per camera across demos
         self._encoded: Dict[str, bool] = {}
 
-        # Build the flat (demo, t) index + cache small tensors.
+        # Build the flat (demo, t) index + cache small tensors. Demos from
+        # all files concatenate into one dataset in (file, natural-key)
+        # order; `_demo_loc[di] = (file_idx, h5 group key)` is the lookup,
+        # `_demo_keys[di]` the unique display name ("stem/demo_k" when
+        # more than one file).
         self._proprio: List[np.ndarray] = []
         self._pos: List[np.ndarray] = []
         self._quat: List[np.ndarray] = []
         self._demo_keys: List[str] = []
+        self._demo_loc: List[Tuple[int, str]] = []
         index: List[Tuple[int, int]] = []
         img_bytes = 0
-        with h5py.File(path, "r") as f:
-            demos = sorted(f["data"].keys(), key=_natural_key)
+        stems = [os.path.splitext(os.path.basename(p))[0]
+                 for p in self.paths]
+        if len(set(stems)) != len(stems):   # same basename in two dirs
+            stems = [f"{fi}_{s}" for fi, s in enumerate(stems)]
+        multi = len(self.paths) > 1
+        fhs = [h5py.File(p, "r") for p in self.paths]
+        try:
+            demos: List[Tuple[int, str]] = []
+            for fi, f in enumerate(fhs):
+                demos.extend((fi, dk) for dk in
+                             sorted(f["data"].keys(), key=_natural_key))
             if val_fraction > 0 and split != "all":
-                # split at demo granularity so no trajectory leaks across
+                # split at demo granularity so no trajectory leaks across;
+                # the permutation runs over the CONCATENATED demo list, so
+                # every file contributes to both splits in expectation
                 n_val = max(1, int(round(len(demos) * val_fraction)))
                 perm = np.random.RandomState(split_seed).permutation(
                     len(demos))
@@ -127,8 +179,9 @@ class HDF5DemoStore:
                     raise ValueError(
                         f"split {split!r} empty (val_fraction="
                         f"{val_fraction}, {len(val_set)} val demos)")
-            for di, dk in enumerate(demos):
-                g = f["data"][dk]
+            for di, (fi, dk) in enumerate(demos):
+                path = self.paths[fi]       # accurate error messages
+                g = fhs[fi]["data"][dk]
                 for key in [self.target_key] + (
                         [self.proprio_key] if use_proprio else []) + [
                         self.image_key_format.format(camera=c)
@@ -147,7 +200,8 @@ class HDF5DemoStore:
                         f"{tgt.shape}; need (T, >=7) with [:3]=pos, "
                         "[3:7]=quat (see docs/DATA_FORMAT.md)")
                 steps = tgt.shape[0]
-                self._demo_keys.append(dk)
+                self._demo_keys.append(f"{stems[fi]}/{dk}" if multi else dk)
+                self._demo_loc.append((fi, dk))
                 self._pos.append(tgt[:, :3])
                 q = tgt[:, 3:7]
                 q = q / np.maximum(
@@ -174,6 +228,9 @@ class HDF5DemoStore:
                     else:
                         img_bytes += int(np.prod(ds.shape)) * ds.dtype.itemsize
                 index.extend((di, t) for t in range(steps))
+        finally:
+            for f in fhs:
+                f.close()
         self._index = np.asarray(index, dtype=np.int64)
         self.proprio_dim = (
             self._proprio[0].shape[-1] if (use_proprio and self._proprio) else 0)
@@ -201,12 +258,13 @@ class HDF5DemoStore:
         self._raw_flat: Dict[str, np.ndarray] = {}
         if cache_images:
             cache: Dict[Tuple[int, str], np.ndarray] = {}
-            with h5py.File(path, "r") as f:
+            fhs = [h5py.File(p, "r") for p in self.paths]
+            try:
                 for cam in self.cameras:
+                    key = self.image_key_format.format(camera=cam)
                     shapes = set()
-                    for dk in self._demo_keys:
-                        ds = f["data"][dk][
-                            self.image_key_format.format(camera=cam)]
+                    for fi, dk in self._demo_loc:
+                        ds = fhs[fi]["data"][dk][key]
                         shapes.add(ds.shape[1:] if not self._encoded[cam]
                                    else ())
                     uniform = (not self._encoded[cam]) and len(shapes) == 1
@@ -214,27 +272,32 @@ class HDF5DemoStore:
                         hw = next(iter(shapes))
                         flat = np.empty((int(self._demo_off[-1]), *hw),
                                         np.uint8)
-                        for di, dk in enumerate(self._demo_keys):
+                        for di, (fi, dk) in enumerate(self._demo_loc):
                             lo = self._demo_off[di]
                             hi = self._demo_off[di + 1]
-                            f["data"][dk][self.image_key_format.format(
-                                camera=cam)].read_direct(flat[lo:hi])
+                            fhs[fi]["data"][dk][key].read_direct(flat[lo:hi])
                         self._raw_flat[cam] = flat
                     else:
-                        for di, dk in enumerate(self._demo_keys):
+                        for di, (fi, dk) in enumerate(self._demo_loc):
                             cache[(di, cam)] = np.asarray(
-                                f["data"][dk][
-                                    self.image_key_format.format(camera=cam)])
+                                fhs[fi]["data"][dk][key])
+            finally:
+                for f in fhs:
+                    f.close()
             self._image_cache = cache
         self._cache_images = bool(cache_images)
 
     # -- low-level access ---------------------------------------------------
 
-    def _file(self) -> h5py.File:
-        f = getattr(self._local, "f", None)
+    def _fileh(self, fi: int) -> h5py.File:
+        """Per-(thread, file) h5py handle -- h5py is not safe across
+        threads on a shared handle (SURVEY.md section 4.4)."""
+        d = getattr(self._local, "files", None)
+        if d is None:
+            d = self._local.files = {}
+        f = d.get(fi)
         if f is None:
-            f = h5py.File(self.path, "r")
-            self._local.f = f
+            f = d[fi] = h5py.File(self.paths[fi], "r")
         return f
 
     def _demo_raw(self, demo: int, cam: str) -> np.ndarray:
@@ -245,7 +308,8 @@ class HDF5DemoStore:
         if self._cache_images and (demo, cam) in (self._image_cache or {}):
             raw = self._image_cache[(demo, cam)]
         else:
-            raw = self._file()["data"][self._demo_keys[demo]][
+            fi, dk = self._demo_loc[demo]
+            raw = self._fileh(fi)["data"][dk][
                 self.image_key_format.format(camera=cam)][...]
         if self._encoded.get(cam, False):
             raw = np.stack([aug.decode_image(b) for b in raw])
@@ -266,8 +330,9 @@ class HDF5DemoStore:
             uniq, inv = np.unique(ts, return_inverse=True)
             return np.stack([aug.decode_image(frames[t])
                              for t in uniq])[inv]
-        ds = self._file()["data"][self._demo_keys[demo]][
-            self.image_key_format.format(camera=cam)]
+        fi, dk = self._demo_loc[demo]
+        ds = self._fileh(fi)["data"][
+            dk][self.image_key_format.format(camera=cam)]
         uniq, inv = np.unique(ts, return_inverse=True)
         if encoded:
             return np.stack([aug.decode_image(b) for b in ds[uniq]])[inv]
