@@ -118,12 +118,18 @@ class DataConfig:
     # 0 = eval on the training data (reference research-repo behavior).
     val_fraction: float = 0.0
     split_seed: int = 0
+    # cap the dataset at the first N demos (natural order, before the
+    # split) -- robomimic-style n_demos data-efficiency studies. 0 = all.
+    max_demos: int = 0
     num_workers: int = 8           # host decode/augment threads
     prefetch: int = 2              # device-side prefetch depth (double buffer)
     shuffle: bool = True
     seed: int = 0
     # HDF5 layout keys (robomimic-style; SURVEY.md section 4.4)
     image_key_format: str = "obs/{camera}_image"
+    # one key, or a comma-separated list of low-dim obs keys concatenated
+    # along the feature dim in order (robomimic idiom:
+    # "obs/robot0_eef_pos,obs/robot0_eef_quat,obs/robot0_gripper_qpos")
     proprio_key: str = "obs/robot0_proprio-state"
     # target pose: 7 leading dims of this key = pos(3) + quat(4)
     target_key: str = "obs/object"
@@ -215,6 +221,9 @@ class DataConfig:
         if self.device_cache and self.source != "hdf5":
             raise ValueError("data.device_cache applies to the hdf5 image "
                              "source only")
+        if self.max_demos < 0:
+            raise ValueError(
+                f"data.max_demos must be >= 0, got {self.max_demos}")
 
 
 @dataclass

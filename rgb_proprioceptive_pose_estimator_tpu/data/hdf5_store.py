@@ -84,6 +84,10 @@ class HDF5DemoStore:
         split: str = "all",                    # "all" | "train" | "val"
         val_fraction: float = 0.0,             # held-out fraction, by demo
         split_seed: int = 0,
+        # cap the dataset at the first N demos of the concatenated list
+        # (natural order, BEFORE the split -- robomimic-style n_demos
+        # data-efficiency studies). 0 = all.
+        max_demos: int = 0,
         # device-side augmentation (data.augment_device): train batches are
         # deterministically resized to this size (image_size + 2*margin);
         # the random crop/flip/jitter happens inside the jitted train step
@@ -109,6 +113,11 @@ class HDF5DemoStore:
         self.temporal_frames = temporal_frames
         self.image_key_format = image_key_format
         self.proprio_key = proprio_key
+        # robomimic idiom: several low-dim obs keys ("obs/robot0_eef_pos,
+        # obs/robot0_eef_quat,obs/robot0_gripper_qpos") concatenate along
+        # the feature dim, in the configured order
+        self.proprio_keys = tuple(
+            k.strip() for k in proprio_key.split(",") if k.strip())
         self.target_key = target_key
         self.use_proprio = use_proprio
         self.use_native = use_native
@@ -165,6 +174,8 @@ class HDF5DemoStore:
             for fi, f in enumerate(fhs):
                 demos.extend((fi, dk) for dk in
                              sorted(f["data"].keys(), key=_natural_key))
+            if max_demos > 0:
+                demos = demos[:max_demos]
             if val_fraction > 0 and split != "all":
                 # split at demo granularity so no trajectory leaks across;
                 # the permutation runs over the CONCATENATED demo list, so
@@ -183,7 +194,7 @@ class HDF5DemoStore:
                 path = self.paths[fi]       # accurate error messages
                 g = fhs[fi]["data"][dk]
                 for key in [self.target_key] + (
-                        [self.proprio_key] if use_proprio else []) + [
+                        list(self.proprio_keys) if use_proprio else []) + [
                         self.image_key_format.format(camera=c)
                         for c in self.cameras]:
                     if key not in g:
@@ -208,8 +219,16 @@ class HDF5DemoStore:
                     np.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
                 self._quat.append(q.astype(np.float32))
                 if use_proprio:
-                    self._proprio.append(
-                        np.asarray(g[self.proprio_key], dtype=np.float32))
+                    parts = []
+                    for k in self.proprio_keys:
+                        arr = np.asarray(g[k], dtype=np.float32)
+                        if arr.shape[0] != steps:
+                            raise ValueError(
+                                f"{path}: {dk}/{k} has {arr.shape[0]} steps "
+                                f"but {self.target_key} has {steps}")
+                        parts.append(arr.reshape(steps, -1))
+                    self._proprio.append(np.concatenate(parts, axis=-1)
+                                         if len(parts) > 1 else parts[0])
                 for cam in self.cameras:
                     ds = g[self.image_key_format.format(camera=cam)]
                     enc = h5py.check_vlen_dtype(ds.dtype) is not None

@@ -504,3 +504,53 @@ def test_multi_file_split_and_stats(tmp_path):
 
     cache = tr.build_resized_cache(24)
     assert cache["agentview"].shape == (len(tr), 24, 24, 3)
+
+
+def test_max_demos_and_multikey_proprio(tmp_path):
+    """data.max_demos caps the concatenated demo list before splitting;
+    data.proprio_key accepts a comma list of low-dim obs keys concatenated
+    along the feature dim (robomimic idiom)."""
+    import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    p = write_demo_fixture(str(tmp_path / "f.hdf5"), n_demos=4, steps=6,
+                           image_hw=24, proprio_dim=6, seed=7)
+    # add two extra low-dim keys per demo: one (T, 3), one 1-D (T,)
+    with h5py.File(p, "r+") as f:
+        for dk in f["data"]:
+            t = f["data"][dk]["obs/robot0_proprio-state"].shape[0]
+            f["data"][dk]["obs/eef_pos"] = np.arange(
+                t * 3, dtype=np.float32).reshape(t, 3)
+            f["data"][dk]["obs/gripper"] = np.full(t, 0.5, np.float32)
+
+    kw = dict(cameras=("agentview",), image_size=24)
+    capped = HDF5DemoStore(p, max_demos=2, **kw)
+    assert capped._demo_keys == ["demo_0", "demo_1"]
+    assert len(capped) == 2 * 6
+
+    multi = HDF5DemoStore(
+        p, proprio_key="obs/robot0_proprio-state,obs/eef_pos,obs/gripper",
+        **kw)
+    assert multi.proprio_dim == 6 + 3 + 1
+    b = multi.get_batch(np.arange(6), augment=False, seed=0)
+    single = HDF5DemoStore(p, **kw).get_batch(
+        np.arange(6), augment=False, seed=0)
+    np.testing.assert_array_equal(b["proprio"][:, :6], single["proprio"])
+    np.testing.assert_array_equal(
+        b["proprio"][:, 6:9],
+        np.arange(18, dtype=np.float32).reshape(6, 3))
+    np.testing.assert_array_equal(b["proprio"][:, 9], np.full(6, 0.5))
+
+    # missing key in the comma list names the missing one
+    with pytest.raises(KeyError, match="obs/nope"):
+        HDF5DemoStore(p, proprio_key="obs/eef_pos,obs/nope", **kw)
+
+    # max_demos applies before the split: train+val partition the cap
+    tr = HDF5DemoStore(p, max_demos=3, split="train", val_fraction=0.34,
+                       **kw)
+    va = HDF5DemoStore(p, max_demos=3, split="val", val_fraction=0.34, **kw)
+    assert sorted(tr._demo_keys + va._demo_keys) == [
+        "demo_0", "demo_1", "demo_2"]
