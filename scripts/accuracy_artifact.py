@@ -81,6 +81,10 @@ ROWS = {
     # guidance row (does dropout preserve the fusion win too?)
     "image+noisy-pose-proprio (dropout)": {
         "_fixture": "noisy", "model.proprio_dropout": 0.5},
+    # EMA weight averaging (train.ema_decay): same data/arch as the noisy
+    # row; the best checkpoint + final evaluate() serve the EMA weights
+    "image+noisy-pose-proprio (ema)": {
+        "_fixture": "noisy", "train.ema_decay": 0.999},
     # --- pr5: dual camera must help on per-camera-occluded data --------
     "single-cam (occluded)": {"_fixture": "occl",
                               "model.use_proprio": False},

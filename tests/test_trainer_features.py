@@ -362,3 +362,47 @@ def test_early_stop_requires_eval():
         "train.early_stop_patience": 3, "train.eval_every": 0})
     with pytest.raises(ValueError, match="early_stop_patience"):
         rppe.train(cfg)
+
+
+def test_ema_bitwise_under_steps_per_call():
+    """EMA updates inside the lax.scan multi-step dispatch: 4 single-step
+    dispatches == one steps_per_call=4 dispatch, bitwise, including the
+    EMA tree."""
+    import jax.numpy as jnp
+
+    from rgb_proprioceptive_pose_estimator_tpu.config import (
+        Config, ModelConfig,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_optimizer, make_train_step,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model, example_batch,
+    )
+
+    mcfg = ModelConfig(backbone="none", cameras=(), use_proprio=True,
+                       proprio_dim=8, proprio_hidden=(16,),
+                       proprio_features=8, head_hidden=(16,))
+    cfg = Config(model=mcfg,
+                 train=TrainConfig(optimizer="sgd", lr=1e-2, ema_decay=0.9))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    batches = [example_batch(mcfg, batch_size=16, rng=i) for i in range(4)]
+
+    s1 = create_state(cfg, tx, seed=0)
+    step1 = make_train_step(model, tx, cfg.train)
+    for b in batches:
+        s1, _ = step1(s1, b)
+
+    s4 = create_state(cfg, tx, seed=0)
+    step4 = make_train_step(model, tx, cfg.train, unroll=4)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    s4, _ = step4(s4, stacked)
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.ema_params)),
+                    jax.tree.leaves(jax.device_get(s4.ema_params))):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(s4.params))):
+        np.testing.assert_array_equal(a, b)
