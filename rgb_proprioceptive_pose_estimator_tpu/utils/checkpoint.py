@@ -81,11 +81,34 @@ class CheckpointManager:
         args = {"state": ocp.args.StandardRestore(abstract)}
         # checkpoints saved via save(step, state) without data_state have no
         # 'data' item; requesting it unconditionally makes restore fail
-        if "data" in (self._mngr.item_metadata(step) or {}):
+        want_data = "data" in (self._mngr.item_metadata(step) or {})
+        if want_data:
             args["data"] = ocp.args.JsonRestore()
-        restored = self._mngr.restore(step, args=ocp.args.Composite(**args))
+        try:
+            restored = self._mngr.restore(step, args=ocp.args.Composite(**args))
+            state = restored["state"]
+        except Exception:
+            # train.ema_decay toggled between the save and this run: the
+            # template's ema_params slot (a params-shaped tree or None)
+            # doesn't match the checkpoint's. Retry with the slot flipped,
+            # then adapt to the requested template: upgrading (old ckpt,
+            # EMA now on) restarts the average AT the restored params
+            # (create_state's init semantics, jnp.copy so no two donated
+            # leaves alias one buffer); downgrading just drops the tree.
+            if state_template.ema_params is None:
+                alt = abstract.replace(ema_params=abstract.params)
+            else:
+                alt = abstract.replace(ema_params=None)
+            args["state"] = ocp.args.StandardRestore(alt)
+            restored = self._mngr.restore(step, args=ocp.args.Composite(**args))
+            state = restored["state"]
+            if state_template.ema_params is None:
+                state = state.replace(ema_params=None)
+            else:
+                state = state.replace(
+                    ema_params=jax.tree.map(jax.numpy.copy, state.params))
         data_state = restored.get("data") if hasattr(restored, "get") else None
-        return restored["state"], data_state, step
+        return state, data_state, step
 
     def wait(self) -> None:
         """Block until in-flight async saves finish (end of training / tests)."""

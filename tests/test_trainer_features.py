@@ -406,3 +406,36 @@ def test_ema_bitwise_under_steps_per_call():
     for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
                     jax.tree.leaves(jax.device_get(s4.params))):
         np.testing.assert_array_equal(a, b)
+
+
+def test_ema_checkpoint_toggle(tmp_path):
+    """Toggling train.ema_decay across a save/restore boundary degrades
+    gracefully: upgrading (pre-EMA checkpoint, EMA now on) restarts the
+    average at the restored params; downgrading drops the EMA tree."""
+    from rgb_proprioceptive_pose_estimator_tpu.api import _restore
+
+    base = {
+        "train.steps": 10, "train.eval_every": 0, "train.ckpt_every": 0,
+        "train.log_every": 10, "data.synthetic_size": 64,
+    }
+    # save WITHOUT ema, restore WITH ema
+    cfg_off = rppe.preset("pr1").override(
+        **base, **{"train.ckpt_dir": str(tmp_path / "a")})
+    rppe.train(cfg_off)
+    cfg_on = cfg_off.override(**{"train.ema_decay": 0.99})
+    _, st, step = _restore(cfg_on, None, None)
+    assert step == 10 and st.ema_params is not None
+    for a, b in zip(jax.tree.leaves(jax.device_get(st.params)),
+                    jax.tree.leaves(jax.device_get(st.ema_params))):
+        np.testing.assert_array_equal(a, b)
+
+    # save WITH ema, restore WITHOUT
+    cfg_on2 = rppe.preset("pr1").override(
+        **base, **{"train.ckpt_dir": str(tmp_path / "b"),
+                   "train.ema_decay": 0.99})
+    rppe.train(cfg_on2)
+    cfg_off2 = cfg_on2.override(**{"train.ema_decay": 0.0})
+    _, st2, _ = _restore(cfg_off2, None, None)
+    assert st2.ema_params is None
+    ev = rppe.evaluate(cfg_off2)
+    assert np.isfinite(ev["pos_mae_cm"])
