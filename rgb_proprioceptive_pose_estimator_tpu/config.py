@@ -23,7 +23,9 @@ class ModelConfig:
     """Model architecture (BASELINE.json:5 -- CNN backbone + proprio MLP,
     late-fused by concat into a shared pose-regression head)."""
 
-    # one of: "none" (proprio-only), "cnn_small", "resnet18", "resnet34", "resnet50"
+    # one of: "none" (proprio-only), "cnn_small", "resnet18", "resnet34",
+    # "resnet50", "vit" (TPU-native addition beyond the reference's CNN
+    # families -- models/vit.py; sized by the vit_* fields below)
     backbone: str = "resnet18"
     # cameras used as image inputs; one encoder per camera (BASELINE.json:11)
     cameras: Tuple[str, ...] = ("agentview",)
@@ -83,6 +85,14 @@ class ModelConfig:
     # standard finetune caveat; freeze + stats-drift is torch behavior
     # too). Typically combined with utils.torch_import pretrained weights.
     freeze_backbone: bool = False
+    # ViT backbone geometry (backbone="vit"): image_size must divide by
+    # vit_patch; vit_dim by vit_heads. BN fields (bn_stats, stem_s2d) do
+    # not apply to the ViT (LayerNorm only); remat checkpoints per block.
+    vit_patch: int = 16
+    vit_dim: int = 384
+    vit_depth: int = 6
+    vit_heads: int = 6
+    vit_mlp_ratio: int = 4
     # BatchNorm semantics: torch momentum 0.1 == flax momentum 0.9
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
@@ -94,12 +104,22 @@ class ModelConfig:
         # validate string enums: a typo'd value silently selecting a
         # default would train the wrong architecture/precision
         _check_enum("model.backbone", self.backbone,
-                    ("none", "cnn_small", "resnet18", "resnet34", "resnet50"))
+                    ("none", "cnn_small", "resnet18", "resnet34",
+                     "resnet50", "vit"))
         _check_enum("model.dtype", self.dtype, ("float32", "bfloat16"))
         _check_enum("model.bn_stats", self.bn_stats,
                     ("reduce", "matmul", "pallas"))
         _check_enum("model.temporal_mode", self.temporal_mode,
                     ("channel", "lstm"))
+        if self.backbone == "vit":
+            if self.image_size % self.vit_patch:
+                raise ValueError(
+                    f"model.image_size={self.image_size} must be a "
+                    f"multiple of model.vit_patch={self.vit_patch}")
+            if self.vit_dim % self.vit_heads:
+                raise ValueError(
+                    f"model.vit_dim={self.vit_dim} must divide by "
+                    f"model.vit_heads={self.vit_heads}")
 
 
 @dataclass

@@ -72,6 +72,12 @@ class PoseEstimator(nn.Module):
             return ResNet50(features=cfg.image_features, dtype=dtype,
                             use_pallas=cfg.use_pallas, bn_stats=cfg.bn_stats,
                             stem_s2d=cfg.stem_s2d, remat=cfg.remat, name=name)
+        if cfg.backbone == "vit":
+            from rgb_proprioceptive_pose_estimator_tpu.models.vit import ViT
+            return ViT(features=cfg.image_features, patch=cfg.vit_patch,
+                       dim=cfg.vit_dim, depth=cfg.vit_depth,
+                       heads=cfg.vit_heads, mlp_ratio=cfg.vit_mlp_ratio,
+                       dtype=dtype, remat=cfg.remat, name=name)
         raise ValueError(f"unknown backbone {self.cfg.backbone!r}")
 
     @nn.compact

@@ -82,9 +82,19 @@ ROWS = {
     "image+noisy-pose-proprio (dropout)": {
         "_fixture": "noisy", "model.proprio_dropout": 0.5},
     # EMA weight averaging (train.ema_decay): same data/arch as the noisy
-    # row; the best checkpoint + final evaluate() serve the EMA weights
+    # row; the best checkpoint + final evaluate() serve the EMA weights.
+    # Measured both under the battery's cosine schedule (where annealing
+    # already averages -- EMA expected ~neutral) and under constant LR
+    # (EMA's classic win case: averaging replaces the anneal).
     "image+noisy-pose-proprio (ema)": {
         "_fixture": "noisy", "train.ema_decay": 0.999},
+    "image+noisy-pose-proprio (const-lr)": {
+        "_fixture": "noisy", "train.lr_schedule": "constant",
+        "train.warmup_steps": 0},
+    # (name avoids a comma: --rows splits on commas)
+    "image+noisy-pose-proprio (const-lr ema)": {
+        "_fixture": "noisy", "train.lr_schedule": "constant",
+        "train.warmup_steps": 0, "train.ema_decay": 0.999},
     # --- pr5: dual camera must help on per-camera-occluded data --------
     "single-cam (occluded)": {"_fixture": "occl",
                               "model.use_proprio": False},

@@ -218,3 +218,55 @@ def test_proprio_normalize_affine():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(quat_n), np.asarray(quat_m),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---- ViT backbone (TPU-native addition; models/vit.py) ---------------------
+
+def test_vit_backbone_shapes_and_policy():
+    cfg = ModelConfig(backbone="vit", image_size=32, use_proprio=True,
+                      proprio_dim=8, image_features=64, head_hidden=(32,),
+                      vit_patch=8, vit_dim=32, vit_depth=2, vit_heads=4,
+                      dtype="bfloat16")
+    pos, quat, variables = _init_apply(cfg)
+    assert pos.shape == (2, 3) and quat.shape == (2, 4)
+    assert pos.dtype == jnp.float32     # head output stays f32
+    # params f32 (policy), no batch_stats (LayerNorm only)
+    for leaf in jax.tree.leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+    assert not variables.get("batch_stats")
+    # pos_embed sized by the static token count
+    enc = variables["params"]["encoder_agentview"]
+    assert enc["pos_embed"].shape == (1, 16, 32)   # (32/8)^2 tokens
+
+
+def test_vit_temporal_channel_stack():
+    cfg = ModelConfig(backbone="vit", image_size=32, use_proprio=False,
+                      image_features=32, head_hidden=(32,),
+                      temporal_frames=3, vit_patch=8, vit_dim=32,
+                      vit_depth=1, vit_heads=4)
+    pos, quat, variables = _init_apply(cfg)
+    assert pos.shape == (2, 3)
+    # patch conv consumed 3*3=9 channels
+    enc = variables["params"]["encoder_agentview"]
+    assert enc["patch_embed"]["kernel"].shape == (8, 8, 9, 32)
+
+
+def test_vit_remat_matches_plain():
+    cfg = ModelConfig(backbone="vit", image_size=32, use_proprio=False,
+                      image_features=32, head_hidden=(32,),
+                      vit_patch=8, vit_dim=32, vit_depth=2, vit_heads=4)
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    p1, q1 = model.apply(variables, batch, train=False)
+    cfg_r = ModelConfig(**{**cfg.__dict__, "remat": True})
+    p2, q2 = build_model(cfg_r).apply(variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+
+
+def test_vit_config_validation():
+    with pytest.raises(ValueError, match="vit_patch"):
+        ModelConfig(backbone="vit", image_size=100, vit_patch=16)
+    with pytest.raises(ValueError, match="vit_heads"):
+        ModelConfig(backbone="vit", image_size=64, vit_dim=100, vit_heads=6)

@@ -334,3 +334,31 @@ def test_evaluate_per_demo(tmp_path, demo_h5):
     import pytest
     with pytest.raises(ValueError, match="hdf5"):
         rppe.evaluate(cfg_syn, per_demo=True)
+
+
+def test_vit_backbone_learns_from_fixture(tmp_path, demo_h5):
+    """The ViT backbone (TPU-native addition, models/vit.py) regresses
+    position from the fixture's drawn marker through the full fit() path."""
+    cfg = rppe.preset("pr2").override(**{
+        "model.backbone": "vit",
+        "model.image_size": 64,
+        "model.image_features": 64,
+        "model.head_hidden": [64],
+        "model.vit_patch": 8,
+        "model.vit_dim": 64,
+        "model.vit_depth": 2,
+        "model.vit_heads": 4,
+        "data.path": demo_h5,
+        "data.batch_size": 16,
+        "data.num_workers": 2,
+        "data.hflip_prob": 0.0,
+        "data.jitter_prob": 0.0,
+        "train.steps": 200,
+        "train.lr": 1e-3,
+        "train.log_every": 50,
+        "train.eval_every": 0,
+        "train.ckpt_every": 200,
+        "train.ckpt_dir": str(tmp_path / "ckpt_vit"),
+    })
+    out = rppe.train(cfg)
+    assert out["metrics"]["pos_loss"] < 0.03, out["metrics"]
