@@ -294,6 +294,17 @@ class TrainConfig:
     # (TrainState.eval_variables); training gradients always flow through
     # the raw params. Costs one extra f32 param copy in HBM.
     ema_decay: float = 0.0
+    # re-estimate BatchNorm running statistics for the serving (EMA)
+    # weights by pushing N train-pipeline batches through train-mode
+    # forwards -- the torch swa_utils.update_bn recipe. Runs before each
+    # periodic eval / best-checkpoint save and before the final save
+    # (recalibrated stats ship in those checkpoints; the cadence
+    # checkpoints keep the raw training stats so resume is unaffected).
+    # 0 = off. Without it, BN running stats track the RAW weights'
+    # activations -- serving EMA params with them is a train/serve
+    # mismatch measured to dominate the EMA win under constant LR
+    # (docs/DESIGN.md EMA rows). No-op for BN-free models (vit, "none").
+    ema_bn_recal_batches: int = 0
     # include the global gradient norm in train metrics. Off by default:
     # it costs a per-leaf reduction fan-in every step (~0.3 ms/step on
     # v5e at pr3 scale) and the reference logged nothing comparable.
@@ -346,6 +357,10 @@ class TrainConfig:
                 raise ValueError(
                     f"train.lr_decay_rate must be in (0, 1], got "
                     f"{self.lr_decay_rate}")
+        if self.ema_bn_recal_batches < 0:
+            raise ValueError(
+                f"train.ema_bn_recal_batches must be >= 0, got "
+                f"{self.ema_bn_recal_batches}")
         if self.early_stop_patience < 0 or self.early_stop_min_delta < 0:
             raise ValueError(
                 "train.early_stop_patience/early_stop_min_delta must be "

@@ -26,10 +26,12 @@ from rgb_proprioceptive_pose_estimator_tpu.engine.state import (
 )
 from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
     frozen_prefixes_for,
+    make_bn_recal_step,
     make_eval_step,
     make_lr_schedule,
     make_optimizer,
     make_train_step,
+    recalibrate_batch_stats,
     stack_microbatches,
 )
 from rgb_proprioceptive_pose_estimator_tpu.models.fusion import build_model
@@ -233,6 +235,22 @@ def fit(cfg: Config) -> Dict[str, Any]:
                                  unroll=spc)
     eval_step = make_eval_step(model, tcfg)
     lr_schedule = make_lr_schedule(tcfg)
+    # train.ema_bn_recal_batches: BN stats re-estimated for the serving
+    # (EMA) weights before evals and the final save (no-op for BN-free
+    # models -- empty batch_stats short-circuits in _recal_state)
+    recal_step = None
+    if tcfg.ema_bn_recal_batches > 0 and jax.tree.leaves(state.batch_stats):
+        recal_step = make_bn_recal_step(model, tcfg, device_aug=device_aug)
+
+    def _recal_state(s: TrainState) -> TrainState:
+        """State whose batch_stats match the eval-serving params; consumes
+        train-pipeline batches (documented in the config field)."""
+        if recal_step is None:
+            return s
+        bs = recalibrate_batch_stats(recal_step, s, train_pipe,
+                                     tcfg.ema_bn_recal_batches,
+                                     image_cache=train_cache)
+        return s.replace(batch_stats=bs)
 
     metrics_path = tcfg.metrics_path or f"{tcfg.ckpt_dir}/metrics.jsonl"
     logger = MetricsLogger(metrics_path, tensorboard=tcfg.tensorboard,
@@ -301,7 +319,8 @@ def fit(cfg: Config) -> Dict[str, Any]:
             # batch k*eval_steps (mod split size), deterministic in step1 so
             # resume replays the same windows (VERDICT r1 weak-5)
             eval_start = (step1 // tcfg.eval_every) * max(tcfg.eval_steps, 0)
-            em = evaluate_pipeline(eval_step, state, eval_pipe,
+            eval_state = _recal_state(state)
+            em = evaluate_pipeline(eval_step, eval_state, eval_pipe,
                                    max_batches=tcfg.eval_steps,
                                    start=eval_start,
                                    image_cache=eval_cache)
@@ -318,8 +337,10 @@ def fit(cfg: Config) -> Dict[str, Any]:
                     if best_ckpt.latest_step() == step1:
                         # resumed past an eval step already recorded as best
                         best_ckpt.delete(step1)
+                    # eval_state: with BN recal on, the best checkpoint
+                    # ships stats matched to the weights it serves
                     best_ckpt.save(
-                        step1, state,
+                        step1, eval_state,
                         data_state={"best_val": float(v),
                                     **train_pipe.state_dict()})
             if tcfg.early_stop_patience:
@@ -356,6 +377,11 @@ def fit(cfg: Config) -> Dict[str, Any]:
     # collide) and when resuming an already-completed run (the step exists
     # on disk).
     final_step = stopped_at if stopped_at is not None else tcfg.steps
+    if recal_step is not None and start_step < final_step:
+        # ship serving-matched BN stats in the final state/checkpoint
+        # (cadence checkpoints keep raw training stats; a resume re-adapts
+        # the running averages within ~1/(1-momentum) batches anyway)
+        state = _recal_state(state)
     if start_step < final_step and last_saved != final_step:
         if final_step in preexisting_steps:
             ckpt.delete(final_step)   # explicit-step resume past an old run

@@ -298,6 +298,51 @@ def stack_microbatches(batches, sharding=None) -> Any:
     return _stack_fn(out_shardings)(*batches)
 
 
+def make_bn_recal_step(model, cfg: TrainConfig,
+                       device_aug: Optional[Dict[str, Any]] = None
+                       ) -> Callable:
+    """BatchNorm-recalibration step (the torch `swa_utils.update_bn`
+    recipe, for train.ema_decay): BN running statistics track the RAW
+    weights' activations during training, so serving the EMA params with
+    them is a train/serve mismatch -- measured to dominate the EMA win
+    under constant LR (docs/DESIGN.md EMA rows). This step pushes one
+    TRAIN-pipeline batch (same gather/augment path as training) through a
+    train-mode forward with the EVAL-serving params (EMA when on, else
+    raw) and returns only the updated batch_stats; the caller threads
+    stats across batches. No gradients, no optimizer."""
+
+    def step(params, batch_stats, rng, salt, batch, image_cache=None):
+        if image_cache is not None and "image_idx" in batch:
+            batch = gather_cached_images(image_cache, batch)
+        if device_aug is not None:
+            from rgb_proprioceptive_pose_estimator_tpu.ops.image_augment_device import (
+                augment_batch_images,
+            )
+
+            # distinct stream from the train step's fold_in(rng, step)
+            key = jax.random.fold_in(jax.random.fold_in(rng, 2), salt)
+            batch = augment_batch_images(key, batch, **device_aug)
+        _, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            train=True, mutable=["batch_stats"])
+        return mutated["batch_stats"]
+
+    return jax.jit(step)
+
+
+def recalibrate_batch_stats(recal_step, state: TrainState, pipeline,
+                            n_batches: int, image_cache=None):
+    """Run `n_batches` recalibration steps (consuming train-pipeline
+    batches) and return batch_stats matched to the eval-serving params."""
+    params = (state.params if state.ema_params is None
+              else state.ema_params)
+    bs = state.batch_stats
+    for i in range(n_batches):
+        bs = recal_step(params, bs, state.rng, i, next(pipeline),
+                        image_cache)
+    return bs
+
+
 def make_eval_step(model, cfg: TrainConfig) -> Callable:
     """Jitted eval step: frozen BN running stats, no augmentation
     (SURVEY.md section 4.2); returns loss components + cm/deg MAE.

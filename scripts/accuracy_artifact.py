@@ -95,6 +95,13 @@ ROWS = {
     "image+noisy-pose-proprio (const-lr ema)": {
         "_fixture": "noisy", "train.lr_schedule": "constant",
         "train.warmup_steps": 0, "train.ema_decay": 0.999},
+    # + BN recalibration (train.ema_bn_recal_batches, the torch update_bn
+    # recipe): the const-lr-ema row without it measures the EMA/BN
+    # train-serve stats mismatch, not EMA itself
+    "image+noisy-pose-proprio (const-lr ema recal)": {
+        "_fixture": "noisy", "train.lr_schedule": "constant",
+        "train.warmup_steps": 0, "train.ema_decay": 0.999,
+        "train.ema_bn_recal_batches": 30},
     # --- pr5: dual camera must help on per-camera-occluded data --------
     "single-cam (occluded)": {"_fixture": "occl",
                               "model.use_proprio": False},

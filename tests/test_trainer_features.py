@@ -439,3 +439,90 @@ def test_ema_checkpoint_toggle(tmp_path):
     assert st2.ema_params is None
     ev = rppe.evaluate(cfg_off2)
     assert np.isfinite(ev["pos_mae_cm"])
+
+
+def test_ema_bn_recalibration():
+    """train.ema_bn_recal_batches (torch swa_utils.update_bn recipe):
+    recalibrate_batch_stats equals a manual chain of train-mode applies
+    with the EMA params, and actually moves the stats."""
+    from rgb_proprioceptive_pose_estimator_tpu.config import (
+        Config, ModelConfig,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_bn_recal_step, make_optimizer, make_train_step,
+        recalibrate_batch_stats,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model, example_batch,
+    )
+
+    mcfg = ModelConfig(backbone="cnn_small", image_size=32,
+                       use_proprio=False, image_features=16,
+                       head_hidden=(16,))
+    cfg = Config(model=mcfg, train=TrainConfig(optimizer="sgd", lr=0.05,
+                                               ema_decay=0.5))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    state = create_state(cfg, tx, seed=0)
+    step = make_train_step(model, tx, cfg.train)
+    for i in range(5):
+        state, _ = step(state, example_batch(mcfg, batch_size=8, rng=i))
+
+    batches = [example_batch(mcfg, batch_size=8, rng=100 + i)
+               for i in range(6)]
+    recal = make_bn_recal_step(model, cfg.train)
+    bs = recalibrate_batch_stats(recal, state, iter(batches), 6)
+
+    manual = state.batch_stats
+    for b in batches:
+        _, mut = model.apply(
+            {"params": state.ema_params, "batch_stats": manual}, b,
+            train=True, mutable=["batch_stats"])
+        manual = mut["batch_stats"]
+    got, want = jax.tree.leaves(jax.device_get(bs)), jax.tree.leaves(
+        jax.device_get(manual))
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(jax.device_get(state.batch_stats)),
+                        got))
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_ema_bn_recal_e2e(tmp_path, demo_h5):
+    """fit() with ema_decay + ema_bn_recal_batches: the final checkpoint
+    ships recalibrated stats (differs from a no-recal run's), and
+    evaluate() serves finite metrics from them."""
+    base = {
+        "model.image_size": 64, "model.image_features": 32,
+        "model.head_hidden": [32],
+        "data.path": demo_h5, "data.batch_size": 16,
+        "data.num_workers": 2,
+        "train.steps": 30, "train.eval_every": 30, "train.eval_steps": 2,
+        "train.ckpt_every": 0, "train.log_every": 30,
+        "train.ema_decay": 0.9,
+    }
+    from rgb_proprioceptive_pose_estimator_tpu.api import _restore
+
+    cfg_a = rppe.preset("pr2").override(
+        **base, **{"train.ckpt_dir": str(tmp_path / "a")})
+    rppe.train(cfg_a)
+    cfg_b = rppe.preset("pr2").override(
+        **base, **{"train.ckpt_dir": str(tmp_path / "b"),
+                   "train.ema_bn_recal_batches": 4})
+    rppe.train(cfg_b)
+
+    _, sa, _ = _restore(cfg_a, None, None)
+    _, sb, _ = _restore(cfg_b, None, None)
+    # same training trajectory (recal never feeds back into training), so
+    # params match; stats differ (recalibrated to the EMA weights)
+    for a, b in zip(jax.tree.leaves(jax.device_get(sa.params)),
+                    jax.tree.leaves(jax.device_get(sb.params))):
+        np.testing.assert_array_equal(a, b)
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(jax.device_get(sa.batch_stats)),
+                        jax.tree.leaves(jax.device_get(sb.batch_stats))))
+    ev = rppe.evaluate(cfg_b)
+    assert np.isfinite(ev["pos_mae_cm"])
