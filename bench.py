@@ -57,7 +57,7 @@ PEAK_BF16 = {
 def bench_config(preset_name: str, image_size: int, dtype: str,
                  per_chip: int, steps: int, warmup: int,
                  use_pallas: bool, unroll: int = 8, windows: int = 3,
-                 tuned: bool = True):
+                 tuned: bool = True, overrides=None):
     """Run the jitted train step on device-resident batches; returns a
     dict of measurements. `steps` counts optimizer steps per window."""
     from rgb_proprioceptive_pose_estimator_tpu.config import (
@@ -83,7 +83,7 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
 
     # pr3/pr4/pr5 presets already carry the tuned knobs (config.py); the
     # overrides here only apply the bench's sweep axes + honor --no-tuned
-    cfg = preset(preset_name).override(**{
+    over = {
         "model.image_size": image_size,
         "model.dtype": dtype,
         "model.use_pallas": bool(use_pallas),
@@ -91,7 +91,10 @@ def bench_config(preset_name: str, image_size: int, dtype: str,
         "data.batch_size": global_batch,
         "train.steps_per_call": unroll,
         "train.compiler_opts": dict(TUNED_COMPILER_OPTS) if tuned else {},
-    })
+    }
+    if overrides:
+        over.update(overrides)
+    cfg = preset(preset_name).override(**over)
 
     mesh = pmesh.make_mesh(n_dev)
     model = build_model(cfg.model)
@@ -194,6 +197,9 @@ def main() -> None:
                     help="disable the tuned config (s2d stem, vmem opt)")
     ap.add_argument("--skip-extra", action="store_true",
                     help="skip the informational ResNet-50@224 line")
+    ap.add_argument("--vit", action="store_true",
+                    help="also print an informational ViT-backbone line "
+                         "(patch16/dim384/depth6, models/vit.py)")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -241,6 +247,21 @@ def main() -> None:
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
+
+    if args.vit:
+        try:
+            v = bench_config(
+                "pr3", args.image_size, args.dtype, per_chip,
+                steps=max(args.steps // 2, unroll), warmup=args.warmup,
+                use_pallas=False, unroll=unroll, windows=1, tuned=tuned,
+                overrides={"model.backbone": "vit"})
+            v["metric"] = ("images/sec/chip (train, vit-p16/384x6+proprio "
+                           f"fusion, {args.image_size}x{args.image_size}, "
+                           f"{args.dtype}) [informational]")
+            print(json.dumps(v), flush=True)
+        except Exception as e:   # never let the extra line kill the bench
+            print(json.dumps({"metric": "vit informational line",
+                              "error": repr(e)[:200]}), flush=True)
 
     print(json.dumps(r))
 

@@ -141,6 +141,9 @@ class DataConfig:
     # cap the dataset at the first N demos (natural order, before the
     # split) -- robomimic-style n_demos data-efficiency studies. 0 = all.
     max_demos: int = 0
+    # robomimic filter key: restrict each file to the demos named in its
+    # mask/<filter_key> dataset (applied before max_demos / the split)
+    filter_key: str = ""
     num_workers: int = 8           # host decode/augment threads
     prefetch: int = 2              # device-side prefetch depth (double buffer)
     shuffle: bool = True

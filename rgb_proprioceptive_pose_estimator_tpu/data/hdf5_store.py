@@ -88,6 +88,10 @@ class HDF5DemoStore:
         # (natural order, BEFORE the split -- robomimic-style n_demos
         # data-efficiency studies). 0 = all.
         max_demos: int = 0,
+        # robomimic filter key: restrict each file to the demos named in
+        # its mask/<filter_key> dataset (applied before max_demos and the
+        # train/val split). "" = all demos.
+        filter_key: str = "",
         # device-side augmentation (data.augment_device): train batches are
         # deterministically resized to this size (image_size + 2*margin);
         # the random crop/flip/jitter happens inside the jitted train step
@@ -172,8 +176,22 @@ class HDF5DemoStore:
         try:
             demos: List[Tuple[int, str]] = []
             for fi, f in enumerate(fhs):
-                demos.extend((fi, dk) for dk in
-                             sorted(f["data"].keys(), key=_natural_key))
+                keys = sorted(f["data"].keys(), key=_natural_key)
+                if filter_key:
+                    if "mask" not in f or filter_key not in f["mask"]:
+                        have = sorted(f["mask"].keys()) if "mask" in f else []
+                        raise KeyError(
+                            f"{self.paths[fi]}: no mask/{filter_key} "
+                            f"dataset (robomimic filter key); available "
+                            f"filter keys: {have}")
+                    names = {n.decode() if isinstance(n, bytes) else str(n)
+                             for n in np.asarray(f["mask"][filter_key])}
+                    keys = [k for k in keys if k in names]
+                    if not keys:
+                        raise ValueError(
+                            f"{self.paths[fi]}: mask/{filter_key} matches "
+                            "no demos in data/")
+                demos.extend((fi, dk) for dk in keys)
             if max_demos > 0:
                 demos = demos[:max_demos]
             if val_fraction > 0 and split != "all":
@@ -647,6 +665,9 @@ def write_demo_fixture(
     # e.g. np.logspace(-2, 3, D) for mixed-unit raw robot state); the
     # model.proprio_normalize demonstration fixture. None/1.0 = off.
     proprio_scale=None,
+    # robomimic filter keys: {"name": [demo indices]} written as
+    # mask/<name> datasets of demo-name bytes (data.filter_key reads them)
+    filter_keys=None,
 ) -> str:
     """Write a tiny robomimic-layout HDF5 demo file whose images are
     *informative*: a bright marker is drawn at the pixel projection of the
@@ -797,4 +818,9 @@ def write_demo_fixture(
             obs.create_dataset("object", data=obj)
             g.create_dataset("actions", data=rs.randn(steps, 7).astype(np.float32))
             g.attrs["num_samples"] = steps
+        if filter_keys:
+            mask = f.create_group("mask")
+            for name, idxs in filter_keys.items():
+                mask.create_dataset(name, data=np.array(
+                    [f"demo_{i}".encode() for i in idxs]))
     return path

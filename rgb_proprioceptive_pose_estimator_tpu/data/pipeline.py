@@ -67,6 +67,7 @@ def build_dataset(cfg: Config, split: str = "all"):
             val_fraction=d.val_fraction,
             split_seed=d.split_seed,
             max_demos=d.max_demos,
+            filter_key=d.filter_key,
             cameras=m.cameras if m.backbone != "none" else (),
             image_size=m.image_size,
             temporal_frames=m.temporal_frames,

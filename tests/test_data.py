@@ -554,3 +554,36 @@ def test_max_demos_and_multikey_proprio(tmp_path):
     va = HDF5DemoStore(p, max_demos=3, split="val", val_fraction=0.34, **kw)
     assert sorted(tr._demo_keys + va._demo_keys) == [
         "demo_0", "demo_1", "demo_2"]
+
+
+def test_filter_key(tmp_path):
+    """data.filter_key: robomimic mask/<key> demo subsets, applied before
+    max_demos and the split."""
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    p = write_demo_fixture(str(tmp_path / "f.hdf5"), n_demos=5, steps=4,
+                           image_hw=24, proprio_dim=4, seed=9,
+                           filter_keys={"train_40": [0, 2], "valid": [4]})
+    kw = dict(cameras=("agentview",), image_size=24)
+    st = HDF5DemoStore(p, filter_key="train_40", **kw)
+    assert st._demo_keys == ["demo_0", "demo_2"]
+    assert len(st) == 2 * 4
+    b = st.get_batch(np.arange(4), augment=False, seed=0)
+    assert b["images"]["agentview"].shape == (4, 24, 24, 3)
+
+    assert HDF5DemoStore(p, filter_key="valid", **kw)._demo_keys == [
+        "demo_4"]
+    # filter_key composes with max_demos (filter first, then cap)
+    assert HDF5DemoStore(p, filter_key="train_40", max_demos=1,
+                         **kw)._demo_keys == ["demo_0"]
+
+    with pytest.raises(KeyError, match="nope.*available filter keys"):
+        HDF5DemoStore(p, filter_key="nope", **kw)
+
+    # a file with no mask group names the problem too
+    q = write_demo_fixture(str(tmp_path / "g.hdf5"), n_demos=2, steps=4,
+                           image_hw=24, proprio_dim=4, seed=10)
+    with pytest.raises(KeyError, match="mask/train_40"):
+        HDF5DemoStore(q, filter_key="train_40", **kw)
