@@ -206,3 +206,71 @@ def test_dp_step_matmul_bn_matches_single_device():
     # coarsely than the reduce path's tree, so the tolerance is wider
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
+
+
+def test_bn_recal_matches_single_device():
+    """train.ema_bn_recal_batches under SPMD: the recalibration forward
+    computes GLOBAL-batch BN statistics over the sharded batch (XLA
+    inserts the psum), so 8-device recal == 1-device recal."""
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_bn_recal_step, recalibrate_batch_stats,
+    )
+
+    mcfg = ModelConfig(backbone="cnn_small", image_size=32,
+                       use_proprio=False, image_features=16,
+                       head_hidden=(16,))
+    cfg = Config(model=mcfg,
+                 train=TrainConfig(lr=1e-2, optimizer="sgd", ema_decay=0.5))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    step = make_train_step(model, tx, cfg.train)
+    recal = make_bn_recal_step(model, cfg.train)
+
+    train_b = example_batch(mcfg, batch_size=16, rng=1)
+    recal_bs = [example_batch(mcfg, batch_size=16, rng=50 + i)
+                for i in range(3)]
+
+    out = {}
+    for n_dev in (1, 8):
+        mesh = pmesh.make_mesh(n_dev)
+        bsh = pmesh.batch_sharding(mesh)
+        state = create_state(cfg, tx, seed=0)
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        for _ in range(2):
+            state, _ = step(state, pmesh.shard_batch(train_b, bsh))
+        pipe = iter([pmesh.shard_batch(b, bsh) for b in recal_bs])
+        out[n_dev] = jax.device_get(
+            recalibrate_batch_stats(recal, state, pipe, 3))
+
+    for a, b in zip(jax.tree.leaves(out[1]), jax.tree.leaves(out[8])):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_vit_dp_step_matches_single_device():
+    """The ViT backbone under SPMD: 8-device sharded train step matches
+    single-device (no BN -- LayerNorm is per-sample, so the only
+    cross-device math is the gradient psum)."""
+    mcfg = ModelConfig(backbone="vit", image_size=32, use_proprio=False,
+                      image_features=16, head_hidden=(16,),
+                      vit_patch=8, vit_dim=32, vit_depth=1, vit_heads=4)
+    cfg = Config(model=mcfg,
+                 train=TrainConfig(lr=1e-2, optimizer="sgd"))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    step = make_train_step(model, tx, cfg.train)
+    batch = example_batch(mcfg, batch_size=16, rng=3)
+
+    out = {}
+    for n_dev in (1, 8):
+        mesh = pmesh.make_mesh(n_dev)
+        state = create_state(cfg, tx, seed=0)
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        db = pmesh.shard_batch(batch, pmesh.batch_sharding(mesh))
+        for _ in range(3):
+            state, metrics = step(state, db)
+        out[n_dev] = (jax.device_get(state.params), float(metrics["loss"]))
+
+    (p1, l1), (p8, l8) = out[1], out[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
