@@ -379,9 +379,16 @@ def fit(cfg: Config) -> Dict[str, Any]:
     final_step = stopped_at if stopped_at is not None else tcfg.steps
     if recal_step is not None and start_step < final_step:
         # ship serving-matched BN stats in the final state/checkpoint
-        # (cadence checkpoints keep raw training stats; a resume re-adapts
-        # the running averages within ~1/(1-momentum) batches anyway)
+        # (earlier cadence checkpoints keep raw training stats; a resume
+        # re-adapts the running averages within ~1/(1-momentum) batches
+        # anyway). If the cadence already saved the final step (with raw
+        # stats), replace that save so the LAST checkpoint always serves
+        # matched stats.
         state = _recal_state(state)
+        if last_saved == final_step:
+            ckpt.wait()              # the async cadence save is in flight
+            ckpt.delete(final_step)
+            last_saved = None
     if start_step < final_step and last_saved != final_step:
         if final_step in preexisting_steps:
             ckpt.delete(final_step)   # explicit-step resume past an old run

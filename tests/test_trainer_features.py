@@ -526,3 +526,35 @@ def test_ema_bn_recal_e2e(tmp_path, demo_h5):
                         jax.tree.leaves(jax.device_get(sb.batch_stats))))
     ev = rppe.evaluate(cfg_b)
     assert np.isfinite(ev["pos_mae_cm"])
+
+
+def test_ema_bn_recal_replaces_final_cadence_save(tmp_path, demo_h5):
+    """When ckpt_every divides steps, the final checkpoint is a cadence
+    save made with raw training stats; with recal on it must be replaced
+    so the LAST checkpoint serves matched stats."""
+    from rgb_proprioceptive_pose_estimator_tpu.api import _restore
+
+    base = {
+        "model.image_size": 64, "model.image_features": 32,
+        "model.head_hidden": [32],
+        "data.path": demo_h5, "data.batch_size": 16,
+        "data.num_workers": 2,
+        "train.steps": 20, "train.eval_every": 0,
+        "train.ckpt_every": 20,       # cadence save lands ON the final step
+        "train.log_every": 20, "train.ema_decay": 0.9,
+    }
+    cfg_a = rppe.preset("pr2").override(
+        **base, **{"train.ckpt_dir": str(tmp_path / "a")})
+    rppe.train(cfg_a)
+    cfg_b = rppe.preset("pr2").override(
+        **base, **{"train.ckpt_dir": str(tmp_path / "b"),
+                   "train.ema_bn_recal_batches": 4})
+    rppe.train(cfg_b)
+
+    _, sa, step_a = _restore(cfg_a, None, None)
+    _, sb, step_b = _restore(cfg_b, None, None)
+    assert step_a == step_b == 20
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(jax.device_get(sa.batch_stats)),
+                        jax.tree.leaves(jax.device_get(sb.batch_stats))))
