@@ -59,10 +59,17 @@ def expand_paths(spec) -> List[str]:
             out.append(tok)
     if not out:
         raise ValueError(f"data.path {spec!r} names no files")
-    # duplicates (e.g. a file named both explicitly and via a glob) would
-    # silently double its demos in the dataset
+    # duplicates (e.g. a file named both explicitly and via a glob, or
+    # the same file via a relative path / symlink) would silently double
+    # its demos in the dataset -- compare resolved paths, keep the
+    # spellings as listed
     seen = set()
-    dup = [p for p in out if p in seen or seen.add(p)]
+    dup = []
+    for p in out:
+        rp = os.path.realpath(p)
+        if rp in seen:
+            dup.append(p)
+        seen.add(rp)
     if dup:
         raise ValueError(f"data.path lists files more than once: {dup}")
     return out

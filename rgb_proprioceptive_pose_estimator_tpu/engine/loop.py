@@ -249,6 +249,7 @@ def fit(cfg: Config) -> Dict[str, Any]:
             return s
         bs = recalibrate_batch_stats(recal_step, s, train_pipe,
                                      tcfg.ema_bn_recal_batches,
+                                     momentum=cfg.model.bn_momentum,
                                      image_cache=train_cache)
         return s.replace(batch_stats=bs)
 

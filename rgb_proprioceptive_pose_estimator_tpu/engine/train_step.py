@@ -234,6 +234,16 @@ def _make_train_step(model, tx: optax.GradientTransformation,
             d = cfg.ema_decay
             new_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
                                    state.ema_params, new_params)
+            if cfg.grad_accum > 1:
+                # MultiSteps applies the real update every N micro-steps;
+                # decaying the EMA on the no-op micro-steps too would
+                # silently shorten the horizon to ema_decay^N per actual
+                # update. mini_step == 0 exactly when this call applied an
+                # update (MultiSteps is the outermost wrap, make_optimizer)
+                applied = new_opt_state.mini_step == 0
+                new_ema = jax.tree.map(
+                    lambda e, n: jnp.where(applied, n, e),
+                    state.ema_params, new_ema)
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -324,23 +334,46 @@ def make_bn_recal_step(model, cfg: TrainConfig,
             batch = augment_batch_images(key, batch, **device_aug)
         _, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch,
-            train=True, mutable=["batch_stats"])
+            train=True, mutable=["batch_stats"],
+            # train-mode forward: dropout layers need an rng (crashes
+            # otherwise when model.proprio_dropout > 0)
+            rngs={"dropout": jax.random.fold_in(
+                jax.random.fold_in(rng, 3), salt)})
         return mutated["batch_stats"]
 
     return jax.jit(step)
 
 
 def recalibrate_batch_stats(recal_step, state: TrainState, pipeline,
-                            n_batches: int, image_cache=None):
-    """Run `n_batches` recalibration steps (consuming train-pipeline
-    batches) and return batch_stats matched to the eval-serving params."""
+                            n_batches: int, momentum: float = 0.9,
+                            image_cache=None):
+    """Run `n_batches` recalibration forwards (consuming train-pipeline
+    batches) and return batch_stats matched to the eval-serving params —
+    torch update_bn semantics: the CUMULATIVE average of the per-batch
+    statistics, not a momentum blend into the stale raw-weight stats (a
+    momentum-0.9 blend would leave 0.9^N of the mismatch in place; the
+    whole point is removing it).
+
+    Mechanics: the train-mode forward normalizes with BATCH statistics,
+    so its output is independent of the running stats fed in; each call
+    therefore runs against the ORIGINAL stats and the per-batch value is
+    recovered from the momentum update, batch = (new - m*old)/(1 - m).
+    Leaves a train-mode apply never mutates (e.g. proprio obs-norm stats)
+    recover to themselves, so the cumulative average leaves them
+    unchanged. `momentum` must be the model's bn_momentum."""
     params = (state.params if state.ema_params is None
               else state.ema_params)
-    bs = state.batch_stats
+    bs0 = state.batch_stats
+    m = momentum
+    cum = None
     for i in range(n_batches):
-        bs = recal_step(params, bs, state.rng, i, next(pipeline),
-                        image_cache)
-    return bs
+        new_bs = recal_step(params, bs0, state.rng, i, next(pipeline),
+                            image_cache)
+        batch = jax.tree.map(lambda nb, ob: (nb - m * ob) / (1.0 - m),
+                             new_bs, bs0)
+        cum = batch if cum is None else jax.tree.map(
+            lambda c, b, t=float(i + 1): c + (b - c) / t, cum, batch)
+    return cum if cum is not None else bs0
 
 
 def make_eval_step(model, cfg: TrainConfig) -> Callable:

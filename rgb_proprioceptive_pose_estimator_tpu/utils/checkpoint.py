@@ -87,7 +87,7 @@ class CheckpointManager:
         try:
             restored = self._mngr.restore(step, args=ocp.args.Composite(**args))
             state = restored["state"]
-        except Exception:
+        except Exception as first_err:
             # train.ema_decay toggled between the save and this run: the
             # template's ema_params slot (a params-shaped tree or None)
             # doesn't match the checkpoint's. Retry with the slot flipped,
@@ -100,7 +100,14 @@ class CheckpointManager:
             else:
                 alt = abstract.replace(ema_params=None)
             args["state"] = ocp.args.StandardRestore(alt)
-            restored = self._mngr.restore(step, args=ocp.args.Composite(**args))
+            try:
+                restored = self._mngr.restore(
+                    step, args=ocp.args.Composite(**args))
+            except Exception:
+                # the flip didn't fix it, so the failure is NOT an EMA
+                # toggle (corrupt files, changed model config, ...):
+                # surface the ORIGINAL error, not the retry's
+                raise first_err
             state = restored["state"]
             if state_template.ema_params is None:
                 state = state.replace(ema_params=None)

@@ -1,6 +1,8 @@
 """Data layer: HDF5 reader vs generated fixture, augmentation determinism,
 pipeline determinism + checkpointable sampler state (SURVEY.md section 5.2)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -448,6 +450,11 @@ def test_multi_file_dataset(tmp_path):
         expand_paths(str(tmp_path / "nope*.hdf5"))
     with pytest.raises(ValueError, match="more than once"):
         expand_paths(f"{a},{a}")
+    # same file via a different spelling (resolved-path dedup)
+    rel = os.path.join(str(tmp_path), "..", os.path.basename(str(tmp_path)),
+                       "lift.hdf5")
+    with pytest.raises(ValueError, match="more than once"):
+        expand_paths(f"{a},{rel}")
 
     kw = dict(cameras=("agentview",), image_size=32,
               proprio_key="obs/robot0_proprio-state")

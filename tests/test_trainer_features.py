@@ -472,21 +472,114 @@ def test_ema_bn_recalibration():
     batches = [example_batch(mcfg, batch_size=8, rng=100 + i)
                for i in range(6)]
     recal = make_bn_recal_step(model, cfg.train)
-    bs = recalibrate_batch_stats(recal, state, iter(batches), 6)
+    bs = recalibrate_batch_stats(recal, state, iter(batches), 6,
+                                 momentum=mcfg.bn_momentum)
 
-    manual = state.batch_stats
+    # torch update_bn oracle: cumulative average of per-batch statistics
+    # (each recovered from an independent momentum update against the
+    # SAME original stats -- train-mode forwards don't read running stats)
+    m = mcfg.bn_momentum
+    per_batch = []
     for b in batches:
         _, mut = model.apply(
-            {"params": state.ema_params, "batch_stats": manual}, b,
-            train=True, mutable=["batch_stats"])
-        manual = mut["batch_stats"]
-    got, want = jax.tree.leaves(jax.device_get(bs)), jax.tree.leaves(
-        jax.device_get(manual))
+            {"params": state.ema_params, "batch_stats": state.batch_stats},
+            b, train=True, mutable=["batch_stats"])
+        per_batch.append(jax.tree.map(
+            lambda nb, ob: (np.asarray(nb) - m * np.asarray(ob)) / (1 - m),
+            jax.device_get(mut["batch_stats"]),
+            jax.device_get(state.batch_stats)))
+    want = jax.tree.map(lambda *xs: np.mean(np.stack(xs), axis=0),
+                        *per_batch)
+    got = jax.tree.leaves(jax.device_get(bs))
     assert any(
         not np.allclose(a, b)
         for a, b in zip(jax.tree.leaves(jax.device_get(state.batch_stats)),
                         got))
-    for a, b in zip(got, want):
+    for a, b in zip(got, jax.tree.leaves(want)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+    # cumulative-average property: N copies of one batch == that batch's
+    # statistics exactly (a momentum blend would still carry 0.9^N of the
+    # stale stats -- the torch update_bn distinction)
+    one = recalibrate_batch_stats(recal, state, iter([batches[0]] * 4), 4,
+                                  momentum=m)
+    ref = recalibrate_batch_stats(recal, state, iter(batches[:1]), 1,
+                                  momentum=m)
+    for a, b in zip(jax.tree.leaves(jax.device_get(one)),
+                    jax.tree.leaves(jax.device_get(ref))):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+
+def test_bn_recal_with_proprio_dropout():
+    """Regression (code review r3): the recal forward must supply a
+    dropout rng -- model.proprio_dropout > 0 + ema_bn_recal crashed with
+    InvalidRngError before the fix."""
+    from rgb_proprioceptive_pose_estimator_tpu.config import (
+        Config, ModelConfig,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_bn_recal_step, make_optimizer, recalibrate_batch_stats,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model, example_batch,
+    )
+
+    mcfg = ModelConfig(backbone="cnn_small", image_size=32,
+                       use_proprio=True, proprio_dim=8,
+                       proprio_hidden=(16,), proprio_features=8,
+                       proprio_dropout=0.5, image_features=16,
+                       head_hidden=(16,))
+    cfg = Config(model=mcfg, train=TrainConfig(optimizer="sgd", lr=0.05,
+                                               ema_decay=0.5))
+    model = build_model(cfg.model)
+    state = create_state(cfg, make_optimizer(cfg.train), seed=0)
+    recal = make_bn_recal_step(model, cfg.train)
+    bs = recalibrate_batch_stats(
+        recal, state, iter([example_batch(mcfg, batch_size=8, rng=0)]), 1,
+        momentum=mcfg.bn_momentum)
+    assert all(np.all(np.isfinite(x))
+               for x in jax.tree.leaves(jax.device_get(bs)))
+
+
+def test_ema_gated_on_grad_accum_boundary():
+    """Regression (code review r3): under grad_accum the EMA must update
+    only when MultiSteps applies a real optimizer update -- not on every
+    micro-step (which would shorten the horizon to decay^N)."""
+    import jax.numpy as jnp
+
+    from rgb_proprioceptive_pose_estimator_tpu.config import (
+        Config, ModelConfig,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_optimizer, make_train_step,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model, example_batch,
+    )
+
+    d = 0.5
+    mcfg = ModelConfig(backbone="none", cameras=(), use_proprio=True,
+                       proprio_dim=8, proprio_hidden=(16,),
+                       proprio_features=8, head_hidden=(16,))
+    cfg = Config(model=mcfg,
+                 train=TrainConfig(optimizer="sgd", lr=1e-2, ema_decay=d,
+                                   grad_accum=2))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    state = create_state(cfg, tx, seed=0)
+    step = make_train_step(model, tx, cfg.train)
+
+    expected = jax.device_get(state.params)
+    for i in range(4):                       # 4 micro-steps = 2 updates
+        state, _ = step(state, example_batch(mcfg, batch_size=8, rng=i))
+        if i % 2 == 1:                       # an update was applied
+            p = jax.device_get(state.params)
+            expected = jax.tree.map(lambda e, q: d * e + (1 - d) * q,
+                                    expected, p)
+    for a, b in zip(jax.tree.leaves(expected),
+                    jax.tree.leaves(jax.device_get(state.ema_params))):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
