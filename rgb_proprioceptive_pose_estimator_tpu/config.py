@@ -93,6 +93,10 @@ class ModelConfig:
     vit_depth: int = 6
     vit_heads: int = 6
     vit_mlp_ratio: int = 4
+    # "mean" token pooling (default) | "cls" class-token readout (the
+    # torchvision convention; required for imported vit_b_16-style
+    # weights, utils/torch_import.import_torch_vit)
+    vit_pool: str = "mean"
     # BatchNorm semantics: torch momentum 0.1 == flax momentum 0.9
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
@@ -112,6 +116,7 @@ class ModelConfig:
         _check_enum("model.temporal_mode", self.temporal_mode,
                     ("channel", "lstm"))
         if self.backbone == "vit":
+            _check_enum("model.vit_pool", self.vit_pool, ("mean", "cls"))
             if self.image_size % self.vit_patch:
                 raise ValueError(
                     f"model.image_size={self.image_size} must be a "

@@ -77,7 +77,8 @@ class PoseEstimator(nn.Module):
             return ViT(features=cfg.image_features, patch=cfg.vit_patch,
                        dim=cfg.vit_dim, depth=cfg.vit_depth,
                        heads=cfg.vit_heads, mlp_ratio=cfg.vit_mlp_ratio,
-                       dtype=dtype, remat=cfg.remat, name=name)
+                       pool=cfg.vit_pool, dtype=dtype, remat=cfg.remat,
+                       name=name)
         raise ValueError(f"unknown backbone {self.cfg.backbone!r}")
 
     @nn.compact

@@ -49,7 +49,9 @@ class TransformerBlock(nn.Module):
                          name="ln2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp1")(y)
-        y = nn.gelu(y)
+        # exact (erf) GELU: torchvision ViT semantics, so imported
+        # vit_b_16-style weights reproduce torch forward outputs
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp2")(y)
         return x + y
@@ -68,6 +70,11 @@ class ViT(nn.Module):
     depth: int = 6
     heads: int = 6
     mlp_ratio: int = 4
+    # "mean" pools over tokens (default: one fewer ragged concat, the
+    # reduce fuses into the projection); "cls" prepends a class token and
+    # reads it out -- the torchvision ViT convention, required for
+    # imported vit_b_16-style weights (utils/torch_import.import_torch_vit)
+    pool: str = "mean"
     dtype: Any = jnp.float32
     remat: bool = False            # jax.checkpoint each block
 
@@ -83,6 +90,13 @@ class ViT(nn.Module):
                     name="patch_embed")(x)
         n = (h // self.patch) * (w // self.patch)
         x = x.reshape(b, n, self.dim)
+        if self.pool == "cls":
+            cls = self.param("cls_token", nn.initializers.zeros,
+                             (1, 1, self.dim), jnp.float32)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.dim)),
+                 x], axis=1)
+            n = n + 1
         pos = self.param("pos_embed",
                          nn.initializers.normal(stddev=0.02),
                          (1, n, self.dim), jnp.float32)
@@ -96,6 +110,6 @@ class ViT(nn.Module):
                           name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="ln_out")(x)
-        x = x.mean(axis=1)
+        x = x[:, 0] if self.pool == "cls" else x.mean(axis=1)
         return nn.Dense(self.features, dtype=self.dtype,
                         param_dtype=jnp.float32, name="proj")(x)

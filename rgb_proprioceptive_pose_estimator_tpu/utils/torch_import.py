@@ -1,4 +1,4 @@
-"""Import torchvision-style ResNet weights into the flax param tree.
+"""Import torchvision-style ResNet / ViT weights into the flax param tree.
 
 The reference loaded pretrained torchvision backbones (`[RECALL]` SURVEY.md
 section 1.3). This environment has no network, so instead of bundling
@@ -92,18 +92,96 @@ def import_torch_resnet(state_dict: Mapping[str, Any], arch: str
     return params, stats
 
 
+def _ln(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]).astype(np.float32),
+            "bias": _np(sd[f"{prefix}.bias"]).astype(np.float32)}
+
+
+def _linear(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"kernel": _np(sd[f"{prefix}.weight"]).T.astype(np.float32),
+            "bias": _np(sd[f"{prefix}.bias"]).astype(np.float32)}
+
+
+def import_torch_vit(state_dict: Mapping[str, Any], depth: int,
+                     heads: int) -> Dict[str, Any]:
+    """torchvision VisionTransformer (vit_b_16-style) state_dict ->
+    params for models/vit.ViT with pool="cls".
+
+    Key mapping (torch packed qkv -> flax per-head kernels):
+
+        conv_proj.{weight,bias}              -> patch_embed
+        class_token                          -> cls_token
+        encoder.pos_embedding                -> pos_embed (CLS slot first)
+        encoder.layers.encoder_layer_i.ln_1  -> block{i}.ln1
+          .self_attention.in_proj_{weight,bias}  -> block{i}.attn.{query,key,value}
+          .self_attention.out_proj.*             -> block{i}.attn.out
+          .ln_2 / .mlp.0 / .mlp.3                -> block{i}.{ln2,mlp1,mlp2}
+        encoder.ln                           -> ln_out
+        heads.*                              -> dropped (pose projection
+                                                replaces the classifier)
+
+    The heads split: torch in_proj_weight is (3E, E) rows [q; k; v],
+    applied as w @ x; flax stores per-head kernels (E, H, E/H) applied as
+    x @ kernel, so each (E, E) slice transposes then reshapes."""
+    dim = _np(state_dict["class_token"]).shape[-1]
+    hd = dim // heads
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _conv_kernel(state_dict["conv_proj.weight"]),
+            "bias": _np(state_dict["conv_proj.bias"]).astype(np.float32),
+        },
+        "cls_token": _np(state_dict["class_token"]).astype(np.float32),
+        "pos_embed": _np(
+            state_dict["encoder.pos_embedding"]).astype(np.float32),
+        "ln_out": _ln(state_dict, "encoder.ln"),
+    }
+    for i in range(depth):
+        t = f"encoder.layers.encoder_layer_{i}"
+        w = _np(state_dict[f"{t}.self_attention.in_proj_weight"])
+        b = _np(state_dict[f"{t}.self_attention.in_proj_bias"])
+        qkv = {}
+        for j, name in enumerate(("query", "key", "value")):
+            qkv[name] = {
+                "kernel": w[j * dim:(j + 1) * dim].T.reshape(
+                    dim, heads, hd).astype(np.float32),
+                "bias": b[j * dim:(j + 1) * dim].reshape(
+                    heads, hd).astype(np.float32),
+            }
+        qkv["out"] = {
+            "kernel": _np(state_dict[f"{t}.self_attention.out_proj.weight"]
+                          ).T.reshape(heads, hd, dim).astype(np.float32),
+            "bias": _np(state_dict[f"{t}.self_attention.out_proj.bias"]
+                        ).astype(np.float32),
+        }
+        params[f"block{i}"] = {
+            "ln1": _ln(state_dict, f"{t}.ln_1"),
+            "attn": qkv,
+            "ln2": _ln(state_dict, f"{t}.ln_2"),
+            "mlp1": _linear(state_dict, f"{t}.mlp.0"),
+            "mlp2": _linear(state_dict, f"{t}.mlp.3"),
+        }
+    return params
+
+
 def load_pretrained_backbone(variables: Dict[str, Any], camera: str,
-                             state_dict: Mapping[str, Any], arch: str
+                             state_dict: Mapping[str, Any], arch: str,
+                             depth: int = 12, heads: int = 12
                              ) -> Dict[str, Any]:
     """Merge torchvision weights into a PoseEstimator variables tree for
-    one camera encoder (`encoder_<camera>`); returns a new tree."""
+    one camera encoder (`encoder_<camera>`); returns a new tree.
+    `arch`: resnet18/34/50, or "vit" (torchvision VisionTransformer
+    layout; pass the encoder's `depth`/`heads`, model must use
+    vit_pool="cls")."""
     import jax
 
     enc = f"encoder_{camera}"
     if enc not in variables["params"]:
         raise KeyError(f"no encoder {enc!r}; have "
                        f"{sorted(variables['params'])}")
-    bp, bs = import_torch_resnet(state_dict, arch)
+    if arch == "vit":
+        bp, bs = import_torch_vit(state_dict, depth, heads), {}
+    else:
+        bp, bs = import_torch_resnet(state_dict, arch)
 
     params = dict(variables["params"])
     enc_params = dict(params[enc])
