@@ -76,21 +76,24 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     if data_path is not None:
         cfg = cfg.override(**{"data.path": data_path,
                               "data.source": "hdf5",
-                              "data.val_fraction": 0.0})
+                              "data.val_fraction": 0.0,
+                              "data.val_path": ""})
         if split == "auto":
             split = "all"
     if per_demo and cfg.data.source != "hdf5":
         raise ValueError("evaluate(per_demo=True) requires an hdf5 "
                          "data source (demos are HDF5 trajectories)")
+    has_val = cfg.data.val_fraction > 0 or bool(cfg.data.val_path)
     if split == "auto":
-        split = "val" if cfg.data.val_fraction > 0 else "all"
-    if split == "val" and cfg.data.val_fraction <= 0:
+        split = "val" if has_val else "all"
+    if split == "val" and not has_val:
         # a held-out request silently scoring the training set would report
         # training metrics as held-out (ADVICE r1)
         raise ValueError(
-            "evaluate(split='val') requires cfg.data.val_fraction > 0; "
-            "with no held-out split use split='all' (scores the full "
-            "dataset) or pass data_path= to a held-out demo file")
+            "evaluate(split='val') requires cfg.data.val_fraction > 0 or "
+            "data.val_path; with no held-out split use split='all' "
+            "(scores the full dataset) or pass data_path= to a held-out "
+            "demo file")
     model, state, got_step = _restore(cfg, ckpt_dir, step)
     dataset = build_dataset(cfg, split=split)
 

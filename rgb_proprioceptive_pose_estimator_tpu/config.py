@@ -142,6 +142,11 @@ class DataConfig:
     # held-out fraction for eval (hdf5: by demo; synthetic: by index).
     # 0 = eval on the training data (reference research-repo behavior).
     val_fraction: float = 0.0
+    # held-out demo file(s) for the val split (same comma/glob syntax as
+    # `path`; hdf5 only): training uses ALL of `path`, the periodic eval
+    # during fit() and evaluate(split="val") use ALL of `val_path`.
+    # Mutually exclusive with val_fraction (fraction splitting).
+    val_path: str = ""
     split_seed: int = 0
     # cap the dataset at the first N demos (natural order, before the
     # split) -- robomimic-style n_demos data-efficiency studies. 0 = all.
@@ -252,6 +257,15 @@ class DataConfig:
         if self.max_demos < 0:
             raise ValueError(
                 f"data.max_demos must be >= 0, got {self.max_demos}")
+        if self.val_path:
+            if self.val_fraction > 0:
+                raise ValueError(
+                    "data.val_path and data.val_fraction are mutually "
+                    "exclusive (a separate held-out file vs fraction "
+                    "splitting)")
+            if self.source != "hdf5":
+                raise ValueError(
+                    "data.val_path applies to the hdf5 source only")
 
 
 @dataclass

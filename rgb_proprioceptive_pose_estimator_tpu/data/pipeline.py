@@ -61,10 +61,18 @@ def build_dataset(cfg: Config, split: str = "all"):
                 "data.device_cache requires an image backbone "
                 "(model.backbone != 'none'); a proprio-only model has no "
                 "frames to cache")
+        # data.val_path: the val split is a SEPARATE held-out file
+        # collection (whole file(s), no fraction split on either side)
+        path = d.path
+        val_fraction = d.val_fraction
+        if d.val_path:
+            if split == "val":
+                path = d.val_path
+            split, val_fraction = "all", 0.0
         store = HDF5DemoStore(
-            d.path,
+            path,
             split=split,
-            val_fraction=d.val_fraction,
+            val_fraction=val_fraction,
             split_seed=d.split_seed,
             max_demos=d.max_demos,
             filter_key=d.filter_key,

@@ -123,7 +123,7 @@ def fit(cfg: Config) -> Dict[str, Any]:
     state = create_state(cfg, tx, seed=tcfg.seed)
     state = jax.device_put(state, rsh)
 
-    has_val = cfg.data.val_fraction > 0
+    has_val = cfg.data.val_fraction > 0 or bool(cfg.data.val_path)
     dataset = build_dataset(cfg, split="train" if has_val else "all")
     if cfg.model.use_proprio and cfg.model.proprio_normalize:
         # write train-split obs-normalization stats into the model's

@@ -594,3 +594,65 @@ def test_filter_key(tmp_path):
                            image_hw=24, proprio_dim=4, seed=10)
     with pytest.raises(KeyError, match="mask/train_40"):
         HDF5DemoStore(q, filter_key="train_40", **kw)
+
+
+def test_val_path_separate_heldout_file(tmp_path):
+    """data.val_path: train on ALL of data.path, evaluate on ALL of a
+    separate held-out file."""
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    a = write_demo_fixture(str(tmp_path / "train.hdf5"), n_demos=3,
+                           steps=8, image_hw=24, proprio_dim=4, seed=1)
+    b = write_demo_fixture(str(tmp_path / "heldout.hdf5"), n_demos=2,
+                           steps=5, image_hw=24, proprio_dim=4, seed=2)
+    cfg = Config(
+        model=ModelConfig(backbone="cnn_small", image_size=24,
+                          use_proprio=True, proprio_dim=4,
+                          proprio_hidden=(8,), proprio_features=8,
+                          image_features=8, head_hidden=(8,)),
+        data=DataConfig(source="hdf5", path=a, val_path=b, batch_size=4,
+                        augment=False, num_workers=0),
+    )
+    tr = build_dataset(cfg, split="train")
+    va = build_dataset(cfg, split="val")
+    assert len(tr) == 3 * 8          # the FULL training file
+    assert len(va) == 2 * 5          # the FULL held-out file
+    assert va._demo_keys == ["demo_0", "demo_1"]
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        DataConfig(source="hdf5", path=a, val_path=b, val_fraction=0.2)
+    with pytest.raises(ValueError, match="hdf5"):
+        DataConfig(source="synthetic", val_path=b)
+
+
+def test_val_path_e2e_fit_eval(tmp_path):
+    """fit() with data.val_path runs its periodic eval on the held-out
+    file, and evaluate(split='val') scores it from the checkpoint."""
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    a = write_demo_fixture(str(tmp_path / "train.hdf5"), n_demos=2,
+                           steps=10, image_hw=32, proprio_dim=4, seed=3)
+    b = write_demo_fixture(str(tmp_path / "heldout.hdf5"), n_demos=2,
+                           steps=8, image_hw=32, proprio_dim=4, seed=4)
+    cfg = rppe.preset("pr2").override(**{
+        "model.image_size": 32, "model.image_features": 16,
+        "model.head_hidden": [16],
+        "data.path": a, "data.val_path": b, "data.batch_size": 8,
+        "data.num_workers": 0,
+        "train.steps": 10, "train.eval_every": 10, "train.eval_steps": 0,
+        "train.ckpt_every": 10, "train.log_every": 10,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+    })
+    out = rppe.train(cfg)
+    assert np.isfinite(out["metrics"]["eval_pos_mae_cm"])
+    ev = rppe.evaluate(cfg)          # auto -> val -> the held-out file
+    np.testing.assert_allclose(ev["pos_mae_cm"],
+                               out["metrics"]["eval_pos_mae_cm"], rtol=1e-5)
+    rows = rppe.evaluate(cfg, per_demo=True)
+    assert list(rows["per_demo"]) == ["demo_0", "demo_1"]  # held-out demos
+    assert rows["per_demo"]["demo_0"]["steps"] == 8
