@@ -64,9 +64,10 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     BASELINE.json:2) over the eval transform pipeline (no augmentation).
 
     split="auto" evaluates the held-out split when cfg.data.val_fraction
-    is set, else the full dataset (the reference research-repo behavior).
-    data_path evaluates a different demo file than the training config
-    (e.g. a held-out demo collection); it implies split="all".
+    or cfg.data.val_path is set, else the full dataset (the reference
+    research-repo behavior). data_path evaluates a different demo file
+    than the training config (e.g. a held-out demo collection); it
+    implies split="all" and overrides val_path.
 
     per_demo=True (hdf5 source only) adds a "per_demo" dict keyed by the
     demo's HDF5 group name with that trajectory's pos/rot MAE and length —

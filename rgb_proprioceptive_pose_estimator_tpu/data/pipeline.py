@@ -38,7 +38,9 @@ def build_dataset(cfg: Config, split: str = "all"):
     """Construct the dataset named by cfg.data.source (C1/C15).
 
     split: "all" | "train" | "val" -- "train"/"val" are only distinct when
-    cfg.data.val_fraction > 0 (hdf5 splits by demo; synthetic by index)."""
+    cfg.data.val_fraction > 0 (hdf5 splits by demo; synthetic by index) or
+    cfg.data.val_path is set (hdf5: val = ALL of the separate file(s),
+    train = ALL of data.path)."""
     d, m = cfg.data, cfg.model
     if d.source == "synthetic":
         return SyntheticProprioDataset(
@@ -62,20 +64,27 @@ def build_dataset(cfg: Config, split: str = "all"):
                 "(model.backbone != 'none'); a proprio-only model has no "
                 "frames to cache")
         # data.val_path: the val split is a SEPARATE held-out file
-        # collection (whole file(s), no fraction split on either side)
+        # collection (whole file(s), no fraction split on either side).
+        # max_demos / filter_key are TRAIN-set selectors (data-efficiency
+        # caps, robomimic subsets) and must not truncate or gate the
+        # held-out file the docs promise is evaluated in full.
         path = d.path
         val_fraction = d.val_fraction
+        max_demos = d.max_demos
+        filter_key = d.filter_key
         if d.val_path:
             if split == "val":
                 path = d.val_path
+                max_demos = 0
+                filter_key = ""
             split, val_fraction = "all", 0.0
         store = HDF5DemoStore(
             path,
             split=split,
             val_fraction=val_fraction,
             split_seed=d.split_seed,
-            max_demos=d.max_demos,
-            filter_key=d.filter_key,
+            max_demos=max_demos,
+            filter_key=filter_key,
             cameras=m.cameras if m.backbone != "none" else (),
             image_size=m.image_size,
             temporal_frames=m.temporal_frames,

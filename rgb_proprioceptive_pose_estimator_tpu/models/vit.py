@@ -88,6 +88,11 @@ class ViT(nn.Module):
                     strides=(self.patch, self.patch), padding="VALID",
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="patch_embed")(x)
+        if self.pool not in ("mean", "cls"):
+            # the Config path validates this enum; guard direct module use
+            # too (a typo'd pool would otherwise silently mean-pool)
+            raise ValueError(f"ViT.pool must be 'mean' or 'cls', got "
+                             f"{self.pool!r}")
         n = (h // self.patch) * (w // self.patch)
         x = x.reshape(b, n, self.dim)
         if self.pool == "cls":

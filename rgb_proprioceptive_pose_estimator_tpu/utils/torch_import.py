@@ -180,6 +180,17 @@ def load_pretrained_backbone(variables: Dict[str, Any], camera: str,
                        f"{sorted(variables['params'])}")
     if arch == "vit":
         bp, bs = import_torch_vit(state_dict, depth, heads), {}
+        enc_blocks = {k for k in variables["params"][enc]
+                      if k.startswith("block")}
+        missing = sorted(enc_blocks - set(bp))
+        if missing:
+            # the merge loop only overwrites keys the import provides; a
+            # depth smaller than the model's vit_depth would otherwise
+            # leave the deeper blocks silently at random init
+            raise ValueError(
+                f"imported ViT covers {len(bp) - 4} blocks but {enc} has "
+                f"{len(enc_blocks)}; blocks left uninitialized: {missing} "
+                "(pass the encoder's actual depth)")
     else:
         bp, bs = import_torch_resnet(state_dict, arch)
 

@@ -656,3 +656,32 @@ def test_val_path_e2e_fit_eval(tmp_path):
     rows = rppe.evaluate(cfg, per_demo=True)
     assert list(rows["per_demo"]) == ["demo_0", "demo_1"]  # held-out demos
     assert rows["per_demo"]["demo_0"]["steps"] == 8
+
+
+def test_val_path_ignores_train_selectors(tmp_path):
+    """Regression (code review r3): max_demos / filter_key are TRAIN-set
+    selectors and must not truncate or gate the separate held-out file."""
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    a = write_demo_fixture(str(tmp_path / "train.hdf5"), n_demos=4,
+                           steps=5, image_hw=24, proprio_dim=4, seed=5,
+                           filter_keys={"good": [0, 1, 2]})
+    b = write_demo_fixture(str(tmp_path / "heldout.hdf5"), n_demos=3,
+                           steps=5, image_hw=24, proprio_dim=4, seed=6)
+    cfg = Config(
+        model=ModelConfig(backbone="cnn_small", image_size=24,
+                          use_proprio=True, proprio_dim=4,
+                          proprio_hidden=(8,), proprio_features=8,
+                          image_features=8, head_hidden=(8,)),
+        data=DataConfig(source="hdf5", path=a, val_path=b, batch_size=4,
+                        max_demos=2, filter_key="good",
+                        augment=False, num_workers=0),
+    )
+    tr = build_dataset(cfg, split="train")
+    assert tr._demo_keys == ["demo_0", "demo_1"]  # filter then cap
+    va = build_dataset(cfg, split="val")
+    # the held-out file has no mask/good and MORE demos than max_demos:
+    # neither selector applies -- ALL of val_path
+    assert va._demo_keys == ["demo_0", "demo_1", "demo_2"]
