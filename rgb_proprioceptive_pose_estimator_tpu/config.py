@@ -50,6 +50,13 @@ class ModelConfig:
     proprio_normalize: bool = False
     image_features: int = 512      # image embedding width (per camera)
     head_hidden: Tuple[int, ...] = (512, 256)
+    # rotation parameterization of the head's raw output. "quat": 4 values,
+    # normalized (reference parity, BASELINE.json:5). "rot6d": 6 values,
+    # Gram-Schmidt to a rotation matrix (Zhou et al. CVPR'19 continuous
+    # representation -- no antipodal double cover for the head to fight);
+    # converted to a quaternion in-graph, so losses, metrics, checkpoints'
+    # eval path, Predictor, and exports all stay quaternion-typed.
+    rot_rep: str = "quat"          # "quat" | "rot6d"
     # temporal stacking: number of recent frames stacked as input
     # (BASELINE.json:11). 1 = no stacking.
     temporal_frames: int = 1
@@ -115,6 +122,7 @@ class ModelConfig:
                     ("reduce", "matmul", "pallas"))
         _check_enum("model.temporal_mode", self.temporal_mode,
                     ("channel", "lstm"))
+        _check_enum("model.rot_rep", self.rot_rep, ("quat", "rot6d"))
         if self.backbone == "vit":
             _check_enum("model.vit_pool", self.vit_pool, ("mean", "cls"))
             if self.image_size % self.vit_patch:

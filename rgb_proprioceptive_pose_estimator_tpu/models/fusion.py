@@ -33,7 +33,10 @@ from rgb_proprioceptive_pose_estimator_tpu.models.resnet import (
     ResNet50,
 )
 from rgb_proprioceptive_pose_estimator_tpu.ops.image_device import normalize_images
-from rgb_proprioceptive_pose_estimator_tpu.ops.pose_math import quat_normalize
+from rgb_proprioceptive_pose_estimator_tpu.ops.pose_math import (
+    quat_normalize,
+    rot6d_to_quat,
+)
 
 
 def compute_dtype(cfg: ModelConfig):
@@ -138,10 +141,19 @@ class PoseEstimator(nn.Module):
             h = nn.Dense(hd, dtype=dtype, param_dtype=jnp.float32,
                          name=f"head{i}")(h)
             h = nn.relu(h)
-        out = nn.Dense(7, dtype=jnp.float32, param_dtype=jnp.float32,
+        # head output width: 3 (pos) + rotation parameterization
+        # (cfg.rot_rep): 4 raw-quat values or 6 for the continuous rot6d
+        # representation, converted back to a quaternion in-graph so every
+        # downstream consumer stays quaternion-typed
+        rot_dim = 6 if cfg.rot_rep == "rot6d" else 4
+        out = nn.Dense(3 + rot_dim, dtype=jnp.float32,
+                       param_dtype=jnp.float32,
                        name="pose_out")(h.astype(jnp.float32))
         pos = out[..., :3]
-        quat = quat_normalize(out[..., 3:])
+        if cfg.rot_rep == "rot6d":
+            quat = rot6d_to_quat(out[..., 3:])
+        else:
+            quat = quat_normalize(out[..., 3:])
         return pos, quat
 
 

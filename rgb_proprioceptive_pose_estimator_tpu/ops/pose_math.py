@@ -100,6 +100,95 @@ def mirror_pose(pos: jax.Array, quat: jax.Array, axis: int = 0,
     return new_pos, quat * quat_sign
 
 
+def quat_to_matrix(q: jax.Array) -> jax.Array:
+    """Unit quaternion (w,x,y,z) -> rotation matrix (..., 3, 3)."""
+    w, x, y, z = jnp.moveaxis(q, -1, 0)
+    r = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w),
+            2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w),
+            2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return r.reshape(r.shape[:-1] + (3, 3))
+
+
+def matrix_to_quat(m: jax.Array) -> jax.Array:
+    """Rotation matrix (..., 3, 3) -> unit quaternion (w,x,y,z).
+
+    Branchless (jit-safe) four-candidate form: the four values
+    t_i in {4w^2, 4x^2, 4y^2, 4z^2} sum to 4, so max(t) >= 1; selecting the
+    candidate built from the largest t keeps every sqrt and division
+    well-conditioned. Gradient safety uses the double-where trick: the three
+    NON-selected candidates are computed with their t replaced by 1, so no
+    lane ever divides by ~0 (a plain where would still propagate NaN
+    cotangents from the dead branches).
+    """
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    t = jnp.stack(
+        [
+            1.0 + m00 + m11 + m22,   # 4w^2
+            1.0 + m00 - m11 - m22,   # 4x^2
+            1.0 - m00 + m11 - m22,   # 4y^2
+            1.0 - m00 - m11 + m22,   # 4z^2
+        ],
+        axis=-1,
+    )
+    sel = jnp.argmax(t, axis=-1)
+
+    def safe(i):
+        ti = jnp.where(sel == i, t[..., i], 1.0)
+        s = jnp.sqrt(jnp.maximum(ti, 1e-12))       # = 2*|comp_i|
+        inv = 0.5 / s
+        return s, inv
+
+    s0, i0 = safe(0)
+    cand0 = jnp.stack([0.5 * s0, (m21 - m12) * i0,
+                       (m02 - m20) * i0, (m10 - m01) * i0], axis=-1)
+    s1, i1 = safe(1)
+    cand1 = jnp.stack([(m21 - m12) * i1, 0.5 * s1,
+                       (m01 + m10) * i1, (m02 + m20) * i1], axis=-1)
+    s2, i2 = safe(2)
+    cand2 = jnp.stack([(m02 - m20) * i2, (m01 + m10) * i2,
+                       0.5 * s2, (m12 + m21) * i2], axis=-1)
+    s3, i3 = safe(3)
+    cand3 = jnp.stack([(m10 - m01) * i3, (m02 + m20) * i3,
+                       (m12 + m21) * i3, 0.5 * s3], axis=-1)
+    cands = jnp.stack([cand0, cand1, cand2, cand3], axis=-2)  # (..., 4, 4)
+    onehot = jax.nn.one_hot(sel, 4, dtype=m.dtype)[..., None]
+    q = jnp.sum(cands * onehot, axis=-2)
+    return quat_normalize(q)
+
+
+def rot6d_to_matrix(x: jax.Array) -> jax.Array:
+    """Continuous 6D rotation representation (Zhou et al., CVPR 2019) ->
+    rotation matrix. `x` (..., 6) holds the first two COLUMNS of R;
+    Gram-Schmidt orthonormalizes them and the third column is the cross
+    product. Smooth and surjective onto SO(3) -- unlike quaternions there
+    is no antipodal double cover, which is why it trains better as a raw
+    network output (model.rot_rep="rot6d")."""
+    a1, a2 = x[..., :3], x[..., 3:6]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-8)
+    a2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2 / jnp.maximum(jnp.linalg.norm(a2, axis=-1, keepdims=True), 1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)   # columns
+
+
+def matrix_to_rot6d(m: jax.Array) -> jax.Array:
+    """Rotation matrix -> its canonical 6D encoding (first two columns)."""
+    return jnp.concatenate([m[..., :, 0], m[..., :, 1]], axis=-1)
+
+
+def rot6d_to_quat(x: jax.Array) -> jax.Array:
+    """6D representation -> unit quaternion (w,x,y,z); the model-head path
+    for model.rot_rep="rot6d" (the public API stays quaternion-typed)."""
+    return matrix_to_quat(rot6d_to_matrix(x))
+
+
 def quat_abs_dot(q1: jax.Array, q2: jax.Array) -> jax.Array:
     """|<q1, q2>| -- antipodal-invariant alignment in [0, 1]."""
     return jnp.abs(jnp.sum(q1 * q2, axis=-1))

@@ -270,3 +270,21 @@ def test_vit_config_validation():
         ModelConfig(backbone="vit", image_size=100, vit_patch=16)
     with pytest.raises(ValueError, match="vit_heads"):
         ModelConfig(backbone="vit", image_size=64, vit_dim=100, vit_heads=6)
+
+
+def test_rot6d_head_outputs_unit_quat():
+    """model.rot_rep='rot6d': the head emits 6 rotation values, converted
+    in-graph to a unit quaternion -- public output stays (pos3, quat4)."""
+    cfg = ModelConfig(backbone="none", cameras=(), use_proprio=True,
+                      proprio_dim=16, head_hidden=(32,), rot_rep="rot6d")
+    pos, quat, variables = _init_apply(cfg)
+    assert pos.shape == (2, 3) and quat.shape == (2, 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(quat), axis=-1), 1.0, atol=1e-5)
+    # the head's final Dense carries 3 + 6 outputs
+    assert variables["params"]["pose_out"]["kernel"].shape[-1] == 9
+
+
+def test_rot_rep_validation():
+    with pytest.raises(ValueError, match="rot_rep"):
+        ModelConfig(rot_rep="euler")

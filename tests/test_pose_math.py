@@ -133,3 +133,87 @@ def test_mirror_pose_angle_preserved_for_symmetric_pairs():
     _, mb = pm.mirror_pose(jnp.zeros((16, 3)), qb, axis=1)
     ang_m = pm.quat_geodesic_angle(ma, mb, grad_safe=False)
     np.testing.assert_allclose(np.asarray(ang), np.asarray(ang_m), atol=1e-5)
+
+
+def test_quat_matrix_round_trip():
+    """quat -> matrix -> quat recovers the rotation (up to antipodal sign)
+    for a large random sample plus the four argmax branches' worst cases
+    (identity and the three 180-degree axis rotations)."""
+    q = pm.random_quaternion(jax.random.PRNGKey(11), (256,))
+    edge = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+                      [0, 0, 1.0, 0], [0, 0, 0, 1.0]])
+    q = jnp.concatenate([q, edge])
+    m = pm.quat_to_matrix(q)
+    # valid rotation matrices: orthonormal, det +1
+    eye = jnp.einsum("bij,bkj->bik", m, m)
+    np.testing.assert_allclose(
+        np.asarray(eye), np.tile(np.eye(3), (q.shape[0], 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(np.asarray(m)), 1.0, atol=1e-5)
+    q2 = pm.matrix_to_quat(m)
+    np.testing.assert_allclose(
+        np.asarray(pm.quat_abs_dot(q, q2)), 1.0, atol=1e-5)
+
+
+def test_matrix_to_quat_rotation_equivalent():
+    """The recovered quaternion rotates vectors exactly like the matrix."""
+    q = pm.random_quaternion(jax.random.PRNGKey(12), (64,))
+    v = jax.random.normal(jax.random.PRNGKey(13), (64, 3))
+    m = pm.quat_to_matrix(q)
+    q2 = pm.matrix_to_quat(m)
+    lhs = np.einsum("bij,bj->bi", np.asarray(m), np.asarray(v))
+    np.testing.assert_allclose(
+        np.asarray(pm.quat_rotate(q2, v)), lhs, atol=1e-5)
+
+
+def test_rot6d_round_trip_and_validity():
+    """matrix -> rot6d -> matrix is the identity on SO(3); arbitrary
+    (non-orthonormal) 6D inputs still produce valid rotations."""
+    q = pm.random_quaternion(jax.random.PRNGKey(14), (128,))
+    m = pm.quat_to_matrix(q)
+    np.testing.assert_allclose(
+        np.asarray(pm.rot6d_to_matrix(pm.matrix_to_rot6d(m))),
+        np.asarray(m), atol=1e-5)
+    # raw network-style outputs: any 6-vector maps onto SO(3)
+    x = jax.random.normal(jax.random.PRNGKey(15), (128, 6)) * 3.0
+    r = pm.rot6d_to_matrix(x)
+    eye = jnp.einsum("bij,bkj->bik", r, r)
+    np.testing.assert_allclose(
+        np.asarray(eye), np.tile(np.eye(3), (128, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(np.asarray(r)), 1.0, atol=1e-5)
+
+
+def test_rot6d_to_quat_gradient_finite_everywhere():
+    """The head path rot6d -> matrix -> quat must be gradient-safe at every
+    argmax branch of matrix_to_quat (the double-where construction): probe
+    random 6D inputs plus encodings of the identity and 180-degree
+    rotations, where the non-selected candidates' denominators vanish."""
+    edge_q = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+                        [0, 0, 1.0, 0], [0, 0, 0, 1.0]])
+    edge6 = pm.matrix_to_rot6d(pm.quat_to_matrix(edge_q))
+    x = jnp.concatenate(
+        [jax.random.normal(jax.random.PRNGKey(16), (32, 6)), edge6])
+    target = pm.random_quaternion(jax.random.PRNGKey(17), (x.shape[0],))
+
+    def f(x6):
+        return jnp.sum(pm.quat_chordal_distance(pm.rot6d_to_quat(x6), target))
+
+    g = jax.grad(f)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_rot6d_gradient_descent_reaches_target():
+    """Direct optimization sanity: gradient steps on the 6D parameters
+    drive the chordal loss to a target rotation (the continuity property
+    the representation exists for)."""
+    target = pm.random_quaternion(jax.random.PRNGKey(18), (8,))
+    x = jax.random.normal(jax.random.PRNGKey(19), (8, 6)) * 0.1
+
+    loss = jax.jit(jax.value_and_grad(
+        lambda p: jnp.mean(
+            pm.quat_chordal_distance(pm.rot6d_to_quat(p), target))))
+    for _ in range(300):
+        val, g = loss(x)
+        x = x - 0.5 * g
+    ang = pm.quat_geodesic_angle(pm.rot6d_to_quat(x), target,
+                                 grad_safe=False)
+    assert float(jnp.max(ang)) < 0.05, float(jnp.max(ang))

@@ -362,3 +362,30 @@ def test_vit_backbone_learns_from_fixture(tmp_path, demo_h5):
     })
     out = rppe.train(cfg)
     assert out["metrics"]["pos_loss"] < 0.03, out["metrics"]
+
+
+def test_rot6d_head_learns_orientation(tmp_path):
+    """model.rot_rep='rot6d' trains end-to-end through the standard
+    quaternion loss and beats chance on orientation (the continuous
+    representation must not break the jitted train step or the eval path)."""
+    cfg = rppe.preset("pr1").override(**{
+        "model.rot_rep": "rot6d",
+        "train.steps": 300,
+        "train.log_every": 100,
+        "train.eval_every": 300,
+        "train.eval_steps": 4,
+        "train.ckpt_every": 300,
+        "train.ckpt_dir": str(tmp_path / "ckpt6d"),
+        "data.synthetic_size": 512,
+    })
+    out = rppe.train(cfg)
+    m = out["metrics"]
+    assert m["loss"] < 0.15, m
+    assert m["eval_loss"] < 0.15, m
+    # predict path: unit quaternions out
+    batch = example_batch(cfg.model, batch_size=4)
+    pred = rppe.Predictor(cfg, max_batch=4)
+    pos, quat = pred(batch)
+    assert pos.shape == (4, 3) and quat.shape == (4, 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(quat), axis=-1), 1.0, atol=1e-4)
