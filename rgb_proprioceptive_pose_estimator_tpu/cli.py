@@ -7,6 +7,8 @@ Usage:
         --preset pr3 --set train.ckpt_dir=/tmp/ckpt
     python -m rgb_proprioceptive_pose_estimator_tpu.cli config --preset pr4
     python -m rgb_proprioceptive_pose_estimator_tpu.cli info --preset pr5
+    python -m rgb_proprioceptive_pose_estimator_tpu.cli inspect \
+        --set "data.path=/data/lift*.hdf5"
 """
 
 from __future__ import annotations
@@ -49,11 +51,122 @@ def load_config(args) -> Config:
     return cfg
 
 
+def inspect_dataset(cfg: Config) -> dict:
+    """Walk the demo file(s) named by data.path and report what's inside --
+    the first thing a user migrating robomimic/robosuite data runs, BEFORE
+    they know the right config. Pure h5py metadata reads (no pixel data, no
+    accelerator), so it is instant even for multi-GB files.
+
+    Reports per file: demo count, step count, env attrs, mask/ filter keys;
+    plus the union of obs keys with shape/dtype/encoding (per-frame
+    JPEG/PNG vlen datasets are detected), the cameras inferred from
+    data.image_key_format, and ready-to-paste config suggestions
+    (data.proprio_key candidates with their widths, target-key check)."""
+    import h5py
+    import numpy as np
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        expand_paths,
+    )
+
+    if cfg.data.source != "hdf5" or not cfg.data.path:
+        raise SystemExit("inspect requires an hdf5 data source "
+                         "(set data.path)")
+    paths = expand_paths(cfg.data.path)
+
+    # the configured image key format, inverted to detect cameras:
+    # "obs/{camera}_image" -> keys under obs/ ending in "_image"
+    fmt = cfg.data.image_key_format
+    prefix, _, suffix = fmt.partition("{camera}")
+
+    files = []
+    obs_keys: dict = {}           # key -> {shape, dtype, encoding, files}
+    cameras = set()
+    for p in paths:
+        with h5py.File(p, "r") as f:
+            if "data" not in f:
+                files.append({"path": p, "error": "no 'data' group "
+                              "(not a robomimic-layout file)"})
+                continue
+            data = f["data"]
+            demo_names = sorted(data.keys())
+            n_steps = 0
+            for d in demo_names:
+                g = data[d]
+                if "num_samples" in g.attrs:
+                    n_steps += int(g.attrs["num_samples"])
+                elif "obs" in g:
+                    first = g["obs"][next(iter(g["obs"].keys()))]
+                    n_steps += int(first.shape[0])
+            # obs inventory from the FIRST demo (metadata only)
+            if demo_names and "obs" in data[demo_names[0]]:
+                obs = data[demo_names[0]]["obs"]
+                for k in sorted(obs.keys()):
+                    ds = obs[k]
+                    vlen = h5py.check_vlen_dtype(ds.dtype) is not None
+                    enc = "vlen-encoded (JPEG/PNG per frame)" if vlen else (
+                        "raw")
+                    ent = obs_keys.setdefault(f"obs/{k}", {
+                        "shape_per_demo": list(ds.shape),
+                        "dtype": "bytes" if vlen else str(ds.dtype),
+                        "encoding": enc, "files": 0})
+                    ent["files"] += 1
+                    # files may disagree (e.g. one stores raw pixels,
+                    # another per-frame JPEG) -- surface that instead of
+                    # silently reporting the first file's layout
+                    if ent["encoding"] != enc:
+                        ent["encoding"] = "MIXED across files"
+                    new_dt = "bytes" if vlen else str(ds.dtype)
+                    if ent["dtype"] != new_dt:
+                        ent["dtype"] = "MIXED across files"
+                    if ent["shape_per_demo"][1:] != list(ds.shape)[1:]:
+                        ent["shape_per_demo"] = "MIXED across files"
+                    full = f"obs/{k}"
+                    if full.startswith(prefix) and full.endswith(suffix) \
+                            and len(full) > len(prefix) + len(suffix):
+                        cameras.add(full[len(prefix):len(full)-len(suffix)]
+                                    if suffix else full[len(prefix):])
+            masks = {}
+            if "mask" in f:
+                for m in sorted(f["mask"].keys()):
+                    masks[m] = int(f["mask"][m].shape[0])
+            files.append({
+                "path": p,
+                "demos": len(demo_names),
+                "steps": n_steps,
+                "env": str(data.attrs.get("env", "")),
+                "filter_keys (data.filter_key)": masks,
+            })
+
+    # config suggestions: low-dim float keys are proprio candidates; the
+    # configured target/proprio keys are checked against what exists
+    proprio_candidates = {
+        k: v["shape_per_demo"][1:] for k, v in obs_keys.items()
+        if v["encoding"] == "raw" and len(v["shape_per_demo"]) == 2
+        and not v["dtype"].startswith("uint")
+    }
+    configured_proprio = [k.strip() for k in
+                          cfg.data.proprio_key.split(",") if k.strip()]
+    suggestions = {
+        "cameras_detected (model.cameras)": sorted(cameras),
+        "proprio_candidates (data.proprio_key; widths concat)":
+            proprio_candidates,
+        "target_key_present": cfg.data.target_key in obs_keys,
+        "configured_proprio_present":
+            {k: k in obs_keys for k in configured_proprio},
+    }
+    return {"files": files,
+            "demos_total": sum(x.get("demos", 0) for x in files),
+            "steps_total": sum(x.get("steps", 0) for x in files),
+            "obs_keys": obs_keys,
+            "suggestions": suggestions}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rppe")
     ap.add_argument("command",
                     choices=["train", "eval", "predict", "export", "config",
-                             "presets", "info"])
+                             "presets", "info", "inspect"])
     ap.add_argument("--preset", default="pr1", choices=sorted(PRESETS))
     ap.add_argument("--config", default="", help="JSON config file")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
@@ -122,6 +235,10 @@ def main(argv=None) -> int:
             "params_by_module": per,
             "batch_stats_elems": n_elems(shapes.get("batch_stats", {})),
         }, indent=2))
+        return 0
+
+    if args.command == "inspect":
+        print(json.dumps(inspect_dataset(cfg), indent=2))
         return 0
 
     import rgb_proprioceptive_pose_estimator_tpu as rppe

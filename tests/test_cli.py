@@ -183,3 +183,44 @@ def test_info_subcommand(capsys):
     mods = set(d5["params_by_module"])
     assert {"encoder_agentview", "encoder_robot0_eye_in_hand"} <= mods
     assert d5["inputs"]["images"]["agentview"] == [1, 3, 128, 128, 3]
+
+
+def test_inspect_reports_layout(tmp_path, demo_h5, capsys):
+    """`cli inspect` walks the demo files (metadata only) and reports
+    demos/steps/obs keys/cameras plus config suggestions -- including vlen
+    (per-frame JPEG) detection and MIXED flags when files disagree."""
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    jpg = write_demo_fixture(str(tmp_path / "enc.hdf5"), n_demos=2,
+                             steps=10, image_hw=84, proprio_dim=16,
+                             encoding="jpeg",
+                             filter_keys={"good": [0]})
+    assert main(["inspect", "--preset", "pr2",
+                 "--set", f"data.path={demo_h5},{jpg}"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["demos_total"] == 5
+    assert rep["steps_total"] == 3 * 20 + 2 * 10
+    assert rep["files"][1]["filter_keys (data.filter_key)"] == {"good": 1}
+    sug = rep["suggestions"]
+    assert sug["cameras_detected (model.cameras)"] == [
+        "agentview", "robot0_eye_in_hand"]
+    assert sug["target_key_present"] is True
+    assert sug["configured_proprio_present"] == {
+        "obs/robot0_proprio-state": True}
+    # raw + jpeg files disagree on the image key layout
+    assert rep["obs_keys"]["obs/agentview_image"]["encoding"] == (
+        "MIXED across files")
+
+    # single vlen-encoded file: encoding reported, no MIXED flag
+    assert main(["inspect", "--preset", "pr2",
+                 "--set", f"data.path={jpg}"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    img = rep["obs_keys"]["obs/agentview_image"]
+    assert img["encoding"].startswith("vlen-encoded")
+
+
+def test_inspect_requires_hdf5():
+    with pytest.raises(SystemExit):
+        main(["inspect", "--preset", "pr1"])
