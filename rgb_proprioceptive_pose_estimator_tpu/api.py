@@ -59,7 +59,8 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
              max_batches: int = 0,
              split: str = "auto",
              data_path: Optional[str] = None,
-             per_demo: bool = False) -> Dict[str, Any]:
+             per_demo: bool = False,
+             percentiles: bool = False) -> Dict[str, Any]:
     """Restore a checkpoint and report metrics (pos MAE cm / rot MAE deg,
     BASELINE.json:2) over the eval transform pipeline (no augmentation).
 
@@ -73,7 +74,13 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     demo's HDF5 group name with that trajectory's pos/rot MAE and length —
     the which-trajectories-fail diagnostic a robot stack wants. Scored
     through the fixed-shape Predictor path (padded chunks, no
-    recompiles)."""
+    recompiles).
+
+    percentiles=True adds per-sample error quantiles (pos_err_cm /
+    rot_err_deg: p50/p90/p95/max over the split) -- MAE hides the tail a
+    robot policy actually trips over; median + tail is the standard pose
+    -estimation reporting. Shares the per-sample prediction pass with
+    per_demo when both are set."""
     if data_path is not None:
         cfg = cfg.override(**{"data.path": data_path,
                               "data.source": "hdf5",
@@ -126,29 +133,53 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     out["step"] = got_step
     pipe.close()
 
-    if per_demo:
+    if per_demo or percentiles:
         from rgb_proprioceptive_pose_estimator_tpu.losses.pose import (
-            pose_metrics,
+            pose_errors,
         )
 
-        # raw-observation path: get_batch must return pixels, not
+        # one per-sample prediction pass over the whole split feeds both
+        # reports. raw-observation path: get_batch must return pixels, not
         # device-cache gather indices
         dataset.emit_image_indices = False
-        demo_ids = dataset._index[:, 0]
+        n = len(dataset)
         pred = Predictor(cfg, state=state, model=model,
-                         max_batch=min(64, len(dataset)))
-        rows: Dict[str, Dict[str, float]] = {}
-        for di, key in enumerate(dataset._demo_keys):
-            flat = np.nonzero(demo_ids == di)[0]
-            batch = dataset.get_batch(flat, augment=False, seed=0)
+                         max_batch=min(64, n))
+        pos_err = np.empty(n, np.float32)
+        rot_err = np.empty(n, np.float32)
+        for lo in range(0, n, 256):
+            idx = np.arange(lo, min(lo + 256, n))
+            batch = dataset.get_batch(idx, augment=False, seed=0)
             tpos = batch.pop("target_pos")
             tquat = batch.pop("target_quat")
             pos, quat = pred(batch)
-            m = pose_metrics(pos, quat, tpos, tquat)
-            rows[key] = {"pos_mae_cm": round(float(m["pos_mae_cm"]), 3),
-                         "rot_mae_deg": round(float(m["rot_mae_deg"]), 3),
-                         "steps": int(flat.size)}
-        out["per_demo"] = rows
+            pe, re_ = pose_errors(pos, quat, tpos, tquat)
+            pos_err[idx] = np.asarray(pe)
+            rot_err[idx] = np.asarray(re_)
+
+        if percentiles:
+            def qtable(err: np.ndarray) -> Dict[str, float]:
+                p50, p90, p95 = np.percentile(err, [50, 90, 95])
+                return {"p50": round(float(p50), 3),
+                        "p90": round(float(p90), 3),
+                        "p95": round(float(p95), 3),
+                        "max": round(float(err.max()), 3)}
+
+            out["pos_err_cm"] = qtable(pos_err)
+            out["rot_err_deg"] = qtable(rot_err)
+            out["n_samples"] = n
+
+        if per_demo:
+            demo_ids = dataset._index[:, 0]
+            rows: Dict[str, Dict[str, float]] = {}
+            for di, key in enumerate(dataset._demo_keys):
+                mask = demo_ids == di
+                rows[key] = {
+                    "pos_mae_cm": round(float(pos_err[mask].mean()), 3),
+                    "rot_mae_deg": round(float(rot_err[mask].mean()), 3),
+                    "steps": int(mask.sum()),
+                }
+            out["per_demo"] = rows
     return out
 
 

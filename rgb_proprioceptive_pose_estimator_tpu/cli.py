@@ -187,6 +187,9 @@ def main(argv=None) -> int:
     ap.add_argument("--per-demo", action="store_true",
                     help="eval: add a per-trajectory MAE breakdown "
                          "(hdf5 source only)")
+    ap.add_argument("--percentiles", action="store_true",
+                    help="eval: add per-sample error quantiles "
+                         "(pos cm / rot deg p50/p90/p95/max)")
     args = ap.parse_args(argv)
 
     if args.command == "presets":
@@ -250,7 +253,8 @@ def main(argv=None) -> int:
 
     if args.command == "eval":
         m = rppe.evaluate(cfg, ckpt_dir=args.ckpt_dir or None,
-                          step=args.step or None, per_demo=args.per_demo)
+                          step=args.step or None, per_demo=args.per_demo,
+                          percentiles=args.percentiles)
         print(json.dumps(m, indent=2))
         return 0
 

@@ -73,12 +73,31 @@ def pose_metrics(
     target_pos = target_pos.astype(jnp.float32)
     target_quat = pose_math.quat_normalize(target_quat.astype(jnp.float32))
 
+    pos_err_cm, rot_err_deg = pose_errors(pred_pos, pred_quat,
+                                          target_pos, target_quat)
+    return {
+        "pos_mae_cm": jnp.mean(pos_err_cm),
+        "rot_mae_deg": jnp.mean(rot_err_deg),
+    }
+
+
+def pose_errors(
+    pred_pos: jax.Array,
+    pred_quat: jax.Array,
+    target_pos: jax.Array,
+    target_quat: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """PER-SAMPLE pose errors in reporting units: (pos error cm, geodesic
+    rotation error deg), each shaped like the batch. The unreduced form
+    behind pose_metrics; evaluate(percentiles=True) quantiles these."""
+    pred_pos = pred_pos.astype(jnp.float32)
+    pred_quat = pose_math.quat_normalize(pred_quat.astype(jnp.float32))
+    target_pos = target_pos.astype(jnp.float32)
+    target_quat = pose_math.quat_normalize(target_quat.astype(jnp.float32))
+
     pos_err_m = jnp.linalg.norm(pred_pos - target_pos, axis=-1)
     # no gradient here: report true zeros (grad_safe clip would floor the
     # metric at 0.16 deg)
     ang_rad = pose_math.quat_geodesic_angle(pred_quat, target_quat,
                                             grad_safe=False)
-    return {
-        "pos_mae_cm": jnp.mean(pos_err_m) * 100.0,
-        "rot_mae_deg": jnp.mean(ang_rad) * (180.0 / jnp.pi),
-    }
+    return pos_err_m * 100.0, ang_rad * (180.0 / jnp.pi)

@@ -318,7 +318,7 @@ def test_evaluate_per_demo(tmp_path, demo_h5):
         "train.ckpt_dir": str(tmp_path / "ckpt"),
     })
     rppe.train(cfg)
-    out = rppe.evaluate(cfg, per_demo=True)
+    out = rppe.evaluate(cfg, per_demo=True, percentiles=True)
     rows = out["per_demo"]
     assert set(rows) == {"demo_0", "demo_1", "demo_2"}
     assert all(r["steps"] == 20 for r in rows.values())
@@ -327,6 +327,18 @@ def test_evaluate_per_demo(tmp_path, demo_h5):
     n = sum(r["steps"] for r in rows.values())
     pos = sum(r["pos_mae_cm"] * r["steps"] for r in rows.values()) / n
     np.testing.assert_allclose(pos, out["pos_mae_cm"], rtol=1e-3)
+
+    # percentiles share the same per-sample pass: monotone quantile
+    # ladder over every sample of the split
+    assert out["n_samples"] == 60
+    for key in ("pos_err_cm", "rot_err_deg"):
+        q = out[key]
+        assert 0.0 <= q["p50"] <= q["p90"] <= q["p95"] <= q["max"], q
+    # the median must bracket the per-demo range (it is a statistic of
+    # the same errors)
+    lo = min(r["pos_mae_cm"] for r in rows.values())
+    hi = max(r["pos_mae_cm"] for r in rows.values())
+    assert lo * 0.1 <= out["pos_err_cm"]["p50"] <= hi * 10
 
     # synthetic source: loud error, not a silent missing key
     cfg_syn = rppe.preset("pr1").override(**{
