@@ -147,11 +147,13 @@ def inspect_dataset(cfg: Config) -> dict:
     }
     configured_proprio = [k.strip() for k in
                           cfg.data.proprio_key.split(",") if k.strip()]
+    target_keys = [k.strip() for k in cfg.data.target_key.split(",")
+                   if k.strip()]
     suggestions = {
         "cameras_detected (model.cameras)": sorted(cameras),
         "proprio_candidates (data.proprio_key; widths concat)":
             proprio_candidates,
-        "target_key_present": cfg.data.target_key in obs_keys,
+        "target_key_present": all(k in obs_keys for k in target_keys),
         "configured_proprio_present":
             {k: k in obs_keys for k in configured_proprio},
     }

@@ -172,7 +172,9 @@ class DataConfig:
     # along the feature dim in order (robomimic idiom:
     # "obs/robot0_eef_pos,obs/robot0_eef_quat,obs/robot0_gripper_qpos")
     proprio_key: str = "obs/robot0_proprio-state"
-    # target pose: 7 leading dims of this key = pos(3) + quat(4)
+    # target pose: 7 leading dims = pos(3) + quat(4). One key, or a comma
+    # list concatenated along the feature dim in order (robomimic often
+    # stores them separately: "obs/cube_pos,obs/cube_quat")
     target_key: str = "obs/object"
     # augmentation (C2, BASELINE.json:5,10). Applied on host in uint8;
     # normalize happens on device fused into the model input stage.

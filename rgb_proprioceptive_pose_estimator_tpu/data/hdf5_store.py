@@ -130,6 +130,12 @@ class HDF5DemoStore:
         self.proprio_keys = tuple(
             k.strip() for k in proprio_key.split(",") if k.strip())
         self.target_key = target_key
+        # like proprio_key, the target may span several obs keys
+        # ("obs/cube_pos,obs/cube_quat" -- robomimic often stores pos and
+        # quat separately); features concatenate in the configured order
+        # and the [:3]=pos / [3:7]=quat convention applies to the result
+        self.target_keys = tuple(
+            k.strip() for k in target_key.split(",") if k.strip())
         self.use_proprio = use_proprio
         self.use_native = use_native
         self.device_aug_hw = device_aug_hw
@@ -218,7 +224,7 @@ class HDF5DemoStore:
             for di, (fi, dk) in enumerate(demos):
                 path = self.paths[fi]       # accurate error messages
                 g = fhs[fi]["data"][dk]
-                for key in [self.target_key] + (
+                for key in list(self.target_keys) + (
                         list(self.proprio_keys) if use_proprio else []) + [
                         self.image_key_format.format(camera=c)
                         for c in self.cameras]:
@@ -229,7 +235,16 @@ class HDF5DemoStore:
                             f"available obs keys: {have}. Adjust "
                             "data.image_key_format / proprio_key / "
                             "target_key (see docs/DATA_FORMAT.md)")
-                tgt = np.asarray(g[self.target_key], dtype=np.float32)
+                tparts = [np.asarray(g[k], dtype=np.float32).reshape(
+                    len(g[k]), -1) for k in self.target_keys]
+                if len({p.shape[0] for p in tparts}) > 1:
+                    raise ValueError(
+                        f"{path}: demo {dk!r} target keys disagree on "
+                        f"step count: " + ", ".join(
+                            f"{k}={p.shape[0]}" for k, p in
+                            zip(self.target_keys, tparts)))
+                tgt = (np.concatenate(tparts, axis=-1)
+                       if len(tparts) > 1 else tparts[0])
                 if tgt.ndim != 2 or tgt.shape[1] < 7:
                     raise ValueError(
                         f"{path}: {dk}/{self.target_key} has shape "

@@ -102,6 +102,11 @@ ROWS = {
         "_fixture": "noisy", "train.lr_schedule": "constant",
         "train.warmup_steps": 0, "train.ema_decay": 0.999,
         "train.ema_bn_recal_batches": 30},
+    # --- model.rot_rep="rot6d": continuous rotation head vs raw quat ---
+    # (same data/arch as image-only; the fixture's orientation walk covers
+    # SO(3), so the quat head's antipodal double cover is exercised)
+    "image-only (rot6d)": {"model.use_proprio": False,
+                           "model.rot_rep": "rot6d"},
     # --- pr5: dual camera must help on per-camera-occluded data --------
     "single-cam (occluded)": {"_fixture": "occl",
                               "model.use_proprio": False},

@@ -685,3 +685,43 @@ def test_val_path_ignores_train_selectors(tmp_path):
     # the held-out file has no mask/good and MORE demos than max_demos:
     # neither selector applies -- ALL of val_path
     assert va._demo_keys == ["demo_0", "demo_1", "demo_2"]
+
+
+def test_multikey_target(tmp_path):
+    """data.target_key accepts a comma list (robomimic stores pos/quat
+    separately): targets concatenate in order and match the single-key
+    load; step-count mismatches across the parts raise loudly."""
+    import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    p = write_demo_fixture(str(tmp_path / "t.hdf5"), n_demos=2, steps=6,
+                           image_hw=24, proprio_dim=6, seed=3)
+    # split obs/object's pose into separate pos/quat keys
+    with h5py.File(p, "r+") as f:
+        for dk in f["data"]:
+            obj = np.asarray(f["data"][dk]["obs/object"])
+            f["data"][dk]["obs/cube_pos"] = obj[:, :3]
+            f["data"][dk]["obs/cube_quat"] = obj[:, 3:7]
+
+    kw = dict(cameras=("agentview",), image_size=24)
+    single = HDF5DemoStore(p, **kw)
+    multi = HDF5DemoStore(p, target_key="obs/cube_pos,obs/cube_quat", **kw)
+    bs = single.get_batch(np.arange(12), augment=False, seed=0)
+    bm = multi.get_batch(np.arange(12), augment=False, seed=0)
+    np.testing.assert_array_equal(bm["target_pos"], bs["target_pos"])
+    np.testing.assert_array_equal(bm["target_quat"], bs["target_quat"])
+
+    with pytest.raises(KeyError, match="obs/cube_nope"):
+        HDF5DemoStore(p, target_key="obs/cube_pos,obs/cube_nope", **kw)
+
+    # step-count mismatch across target parts is a loud error
+    with h5py.File(p, "r+") as f:
+        for dk in f["data"]:
+            f["data"][dk]["obs/cube_pos_short"] = np.zeros(
+                (3, 3), np.float32)
+    with pytest.raises(ValueError, match="disagree on"):
+        HDF5DemoStore(p, target_key="obs/cube_pos_short,obs/cube_quat",
+                      **kw)
