@@ -34,11 +34,18 @@ Each row trains on the first (1 - val_fraction) demos and reports
 held-out (demo-granularity) pos/rot MAE from the best checkpoint.
 
 Usage:
-  PYTHONPATH=/root/.axon_site:. python scripts/accuracy_artifact.py \
+  python scripts/accuracy_artifact.py \
       [--demos 40] [--steps 3000] [--out /tmp/rppe_acc] [--rows a,b]
 """
 
 from __future__ import annotations
+
+# runnable as python scripts/accuracy_artifact.py from the repo root without
+# PYTHONPATH: the package lives one directory above this file
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json

@@ -15,10 +15,17 @@ running at ~270 GB/s (a third of v5e HBM peak). Candidates:
 Each produces (mean, mean_sq) in f32 given NHWC input; numerical agreement
 is asserted before timing.
 
-Usage: PYTHONPATH=/root/.axon_site:. python scripts/bn_stats_bench.py
+Usage: python scripts/bn_stats_bench.py
 """
 
 from __future__ import annotations
+
+# runnable as python scripts/bn_stats_bench.py from the repo root without
+# PYTHONPATH: the package lives one directory above this file
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import functools

@@ -14,6 +14,13 @@ Usage:
 
 from __future__ import annotations
 
+# runnable as python scripts/perf_probe.py from the repo root without
+# PYTHONPATH: the package lives one directory above this file
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
