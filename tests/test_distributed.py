@@ -274,3 +274,34 @@ def test_vit_dp_step_matches_single_device():
     np.testing.assert_allclose(l1, l8, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_rot6d_dp_step_matches_single_device():
+    """model.rot_rep='rot6d' under SPMD: the rot6d->matrix->quat head is
+    elementwise over the sharded batch, so 8-device training must match
+    single-device math like the quat head does."""
+    cfg = _cfg()
+    cfg = Config(
+        model=dataclasses.replace(cfg.model, rot_rep="rot6d"),
+        data=cfg.data,
+        train=TrainConfig(lr=1e-2, optimizer="sgd"))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    step = make_train_step(model, tx, cfg.train)
+    batch = example_batch(cfg.model, batch_size=16, rng=11)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = pmesh.make_mesh(n_dev)
+        state = create_state(cfg, tx, seed=0)
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        db = pmesh.shard_batch(batch, pmesh.batch_sharding(mesh))
+        for _ in range(3):
+            state, metrics = step(state, db)
+        results[n_dev] = (jax.device_get(state.params),
+                          float(metrics["loss"]))
+
+    (p1, l1), (p8, l8) = results[1], results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
