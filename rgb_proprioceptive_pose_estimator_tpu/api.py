@@ -10,7 +10,7 @@ calls.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import numpy as np
@@ -60,7 +60,8 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
              split: str = "auto",
              data_path: Optional[str] = None,
              per_demo: bool = False,
-             percentiles: bool = False) -> Dict[str, Any]:
+             percentiles: bool = False,
+             success_at: Sequence[Tuple[float, float]] = ()) -> Dict[str, Any]:
     """Restore a checkpoint and report metrics (pos MAE cm / rot MAE deg,
     BASELINE.json:2) over the eval transform pipeline (no augmentation).
 
@@ -80,7 +81,15 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     rot_err_deg: p50/p90/p95/max over the split) -- MAE hides the tail a
     robot policy actually trips over; median + tail is the standard pose
     -estimation reporting. Shares the per-sample prediction pass with
-    per_demo when both are set."""
+    per_demo when both are set.
+
+    success_at: (pos_cm, rot_deg) threshold pairs, e.g.
+    [(2.0, 10.0), (5.0, 30.0)]. Adds a "success" list reporting, per
+    pair, the fraction of samples with position error <= pos_cm AND
+    rotation error <= rot_deg (plus each marginal rate) -- the
+    success-rate acceptance metric a robot stack gates deployments on
+    (MAE averages over failures; a grasp either is or is not within
+    tolerance). Shares the per-sample pass with per_demo/percentiles."""
     if data_path is not None:
         cfg = cfg.override(**{"data.path": data_path,
                               "data.source": "hdf5",
@@ -133,7 +142,7 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     out["step"] = got_step
     pipe.close()
 
-    if per_demo or percentiles:
+    if per_demo or percentiles or success_at:
         from rgb_proprioceptive_pose_estimator_tpu.losses.pose import (
             pose_errors,
         )
@@ -167,6 +176,21 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
 
             out["pos_err_cm"] = qtable(pos_err)
             out["rot_err_deg"] = qtable(rot_err)
+            out["n_samples"] = n
+
+        if success_at:
+            rows = []
+            for pos_cm, rot_deg in success_at:
+                pos_ok = pos_err <= float(pos_cm)
+                rot_ok = rot_err <= float(rot_deg)
+                rows.append({
+                    "pos_cm": float(pos_cm),
+                    "rot_deg": float(rot_deg),
+                    "rate": round(float((pos_ok & rot_ok).mean()), 4),
+                    "pos_rate": round(float(pos_ok.mean()), 4),
+                    "rot_rate": round(float(rot_ok.mean()), 4),
+                })
+            out["success"] = rows
             out["n_samples"] = n
 
         if per_demo:

@@ -192,6 +192,12 @@ def main(argv=None) -> int:
     ap.add_argument("--percentiles", action="store_true",
                     help="eval: add per-sample error quantiles "
                          "(pos cm / rot deg p50/p90/p95/max)")
+    ap.add_argument("--success-at", default="", metavar="CM:DEG[,CM:DEG...]",
+                    help="eval: success-rate thresholds, e.g. '2:10,5:30' = "
+                         "fraction of samples within 2cm&10deg / 5cm&30deg")
+    ap.add_argument("--plot", default="", metavar="PNG",
+                    help="predict: also write a predicted-vs-target "
+                         "trajectory figure (whole-demo mode only)")
     args = ap.parse_args(argv)
 
     if args.command == "presets":
@@ -254,9 +260,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "eval":
+        success_at = []
+        for pair in filter(None, args.success_at.split(",")):
+            try:
+                cm, deg = pair.split(":")
+                success_at.append((float(cm), float(deg)))
+            except ValueError:
+                raise SystemExit(
+                    f"--success-at: expected CM:DEG pairs, got {pair!r}")
         m = rppe.evaluate(cfg, ckpt_dir=args.ckpt_dir or None,
                           step=args.step or None, per_demo=args.per_demo,
-                          percentiles=args.percentiles)
+                          percentiles=args.percentiles,
+                          success_at=success_at)
         print(json.dumps(m, indent=2))
         return 0
 
@@ -324,8 +339,26 @@ def main(argv=None) -> int:
                 "target_pos": [round(float(v), 4) for v in tpos[i]],
                 "pred_quat": [round(float(v), 4) for v in quat[i]],
             }))
-        print(json.dumps({"pos_mae_cm": round(float(m["pos_mae_cm"]), 3),
-                          "rot_mae_deg": round(float(m["rot_mae_deg"]), 3)}))
+        summary = {"pos_mae_cm": round(float(m["pos_mae_cm"]), 3),
+                   "rot_mae_deg": round(float(m["rot_mae_deg"]), 3)}
+        if args.plot:
+            if args.t != -1:
+                raise SystemExit("--plot plots a whole trajectory; drop --t")
+            from rgb_proprioceptive_pose_estimator_tpu.losses.pose import (
+                pose_errors,
+            )
+            from rgb_proprioceptive_pose_estimator_tpu.utils.viz import (
+                plot_trajectory,
+            )
+
+            pe, re_ = pose_errors(pos, quat, tpos, tquat)
+            summary["plot"] = plot_trajectory(
+                pos, tpos, np.asarray(pe), np.asarray(re_), args.plot,
+                title=(f"demo {args.demo}: pos MAE "
+                       f"{summary['pos_mae_cm']} cm / rot MAE "
+                       f"{summary['rot_mae_deg']} deg @ step "
+                       f"{int(pred.state.step)}"))
+        print(json.dumps(summary))
         return 0
 
     return 1

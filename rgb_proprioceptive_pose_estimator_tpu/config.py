@@ -313,9 +313,16 @@ class TrainConfig:
     # non-TPU backends (the CPU test backend rejects unknown options) --
     # engine/train_step.filter_compiler_options.
     compiler_opts: Dict[str, str] = field(default_factory=dict)
-    # loss weighting: L = pos_weight * MSE(pos) + rot_weight * quat_loss
+    # loss weighting: L = pos_weight * pos_loss + rot_weight * quat_loss
     pos_weight: float = 1.0
     rot_weight: float = 1.0
+    # position loss: "mse" (torch nn.MSELoss, reference parity) | "huber"
+    # (torch nn.HuberLoss semantics: 0.5*e^2 within huber_delta, linear
+    # beyond -- caps the gradient of demo outliers / mislabeled frames).
+    # Note the torch conventions differ by the 0.5 inside the quadratic
+    # zone: huber(delta=inf) == 0.5 * mse.
+    pos_loss: str = "mse"
+    huber_delta: float = 0.05      # meters (5 cm elbow)
     rot_loss: str = "chordal"      # "chordal" (1-<q,q'>^2) | "geodesic"
     seed: int = 0
     # exponential moving average of the float32 parameters, updated inside
@@ -375,6 +382,10 @@ class TrainConfig:
                     ("constant", "cosine", "multistep"))
         _check_enum("train.rot_loss", self.rot_loss,
                     ("chordal", "geodesic"))
+        _check_enum("train.pos_loss", self.pos_loss, ("mse", "huber"))
+        if self.huber_delta <= 0:
+            raise ValueError(
+                f"train.huber_delta must be > 0, got {self.huber_delta}")
         if not (0.0 <= self.ema_decay < 1.0):
             raise ValueError(
                 f"train.ema_decay must be in [0, 1), got {self.ema_decay}")

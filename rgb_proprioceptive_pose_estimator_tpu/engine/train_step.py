@@ -203,7 +203,8 @@ def _make_train_step(model, tx: optax.GradientTransformation,
         loss, aux = pose_loss(
             pos, quat, batch["target_pos"], batch["target_quat"],
             pos_weight=cfg.pos_weight, rot_weight=cfg.rot_weight,
-            rot_loss=cfg.rot_loss)
+            rot_loss=cfg.rot_loss, pos_loss=cfg.pos_loss,
+            huber_delta=cfg.huber_delta)
         return loss, (aux, mutated["batch_stats"])
 
     def step(state: TrainState, batch, image_cache=None
@@ -391,7 +392,8 @@ def make_eval_step(model, cfg: TrainConfig) -> Callable:
         _, aux = pose_loss(
             pos, quat, batch["target_pos"], batch["target_quat"],
             pos_weight=cfg.pos_weight, rot_weight=cfg.rot_weight,
-            rot_loss=cfg.rot_loss)
+            rot_loss=cfg.rot_loss, pos_loss=cfg.pos_loss,
+            huber_delta=cfg.huber_delta)
         aux.update(pose_metrics(pos, quat, batch["target_pos"],
                                 batch["target_quat"]))
         return aux

@@ -27,6 +27,8 @@ def pose_loss(
     pos_weight: float = 1.0,
     rot_weight: float = 1.0,
     rot_loss: str = "chordal",
+    pos_loss: str = "mse",
+    huber_delta: float = 0.05,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Return (scalar loss, aux dict). Inputs: (..., 3) and (..., 4).
 
@@ -46,7 +48,19 @@ def pose_loss(
 
     # true MSE (mean over coordinates too, torch nn.MSELoss convention --
     # a coordinate SUM would weight position 3x relative to rotation)
-    pos_l = jnp.mean(jnp.square(pred_pos - target_pos))
+    err = pred_pos - target_pos
+    if pos_loss == "mse":
+        pos_l = jnp.mean(jnp.square(err))
+    elif pos_loss == "huber":
+        # torch nn.HuberLoss(reduction="mean", delta): per-coordinate
+        # 0.5*e^2 for |e| <= delta, delta*(|e| - 0.5*delta) beyond --
+        # linear tails cap the pull of demo outliers / mislabeled frames
+        d = jnp.float32(huber_delta)
+        a = jnp.abs(err)
+        per = jnp.where(a <= d, 0.5 * jnp.square(err), d * (a - 0.5 * d))
+        pos_l = jnp.mean(per)
+    else:
+        raise ValueError(f"unknown pos_loss {pos_loss!r}")
     if rot_loss == "chordal":
         rot_l = jnp.mean(pose_math.quat_chordal_distance(pred_quat, target_quat))
     elif rot_loss == "geodesic":

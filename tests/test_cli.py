@@ -47,10 +47,15 @@ def test_train_eval_predict_roundtrip(tmp_path, demo_h5, capsys):
     train_out = json.loads(capsys.readouterr().out)
     assert np.isfinite(train_out["loss"])
 
-    assert main(["eval", *common]) == 0
+    assert main(["eval", *common, "--success-at", "1e9:1e9"]) == 0
     eval_out = json.loads(capsys.readouterr().out)
     assert eval_out["step"] == 8
     assert "pos_mae_cm" in eval_out
+    assert eval_out["success"][0]["rate"] == 1.0
+
+    with pytest.raises(SystemExit):
+        main(["eval", *common, "--success-at", "nonsense"])
+    capsys.readouterr()
 
     assert main(["predict", *common, "--demo", "1", "--t", "3"]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
@@ -59,10 +64,20 @@ def test_train_eval_predict_roundtrip(tmp_path, demo_h5, capsys):
     summary = json.loads(lines[-1])
     assert "pos_mae_cm" in summary
 
-    # whole-demo prediction
-    assert main(["predict", *common, "--demo", "0"]) == 0
+    # whole-demo prediction + trajectory figure
+    png = str(tmp_path / "traj.png")
+    assert main(["predict", *common, "--demo", "0", "--plot", png]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 21  # 20 steps + summary
+    assert json.loads(lines[-1])["plot"] == png
+    import os
+
+    assert os.path.getsize(png) > 1000  # a real PNG, not a stub
+
+    # --plot needs the whole trajectory
+    with pytest.raises(SystemExit):
+        main(["predict", *common, "--demo", "0", "--t", "3", "--plot", png])
+    capsys.readouterr()
 
 
 def test_predict_requires_hdf5(tmp_path):

@@ -62,3 +62,35 @@ def test_loss_grad_finite_bf16_inputs():
     gp, gq = jax.grad(f, argnums=(0, 1))(pos, quat)
     assert np.all(np.isfinite(np.asarray(gp, dtype=np.float32)))
     assert np.all(np.isfinite(np.asarray(gq, dtype=np.float32)))
+
+
+def test_huber_pos_loss_torch_parity():
+    """pos_loss='huber' matches torch nn.HuberLoss(delta) elementwise-mean
+    semantics, reduces to 0.5*MSE for tiny residuals, and its gradient
+    saturates at delta (the outlier-capping property it exists for)."""
+    import torch
+
+    pos, quat, tpos, tquat = _mk(n=16, seed=3)
+    delta = 0.7
+
+    _, aux = pose_loss(pos, quat, tpos, tquat, pos_loss="huber",
+                       huber_delta=delta)
+    ref = torch.nn.HuberLoss(reduction="mean", delta=delta)(
+        torch.from_numpy(np.array(pos)),
+        torch.from_numpy(np.array(tpos)))
+    np.testing.assert_allclose(float(aux["pos_loss"]), float(ref), rtol=1e-6)
+
+    # quadratic zone: huber == 0.5 * mse when every |e| <= delta
+    small = tpos + 0.01 * (pos - tpos) / jnp.abs(pos - tpos).max()
+    _, h = pose_loss(small, quat, tpos, tquat, pos_loss="huber",
+                     huber_delta=delta)
+    _, m = pose_loss(small, quat, tpos, tquat, pos_loss="mse")
+    np.testing.assert_allclose(float(h["pos_loss"]),
+                               0.5 * float(m["pos_loss"]), rtol=1e-5)
+
+    # linear zone: d(loss)/d(pred) is bounded by delta / n_elements
+    far = tpos + 100.0
+    g = jax.grad(lambda p: pose_loss(p, quat, tpos, tquat, rot_weight=0.0,
+                                     pos_loss="huber",
+                                     huber_delta=delta)[0])(far)
+    np.testing.assert_allclose(np.asarray(g), delta / far.size, rtol=1e-5)

@@ -27,6 +27,31 @@ def test_pr1_synthetic_learns(tmp_path):
     assert m["eval_loss"] < 0.15, m
 
 
+def test_pr1_huber_pos_loss_learns(tmp_path):
+    """train.pos_loss='huber' end-to-end: the threaded config reaches the
+    jitted step's loss (train metric reflects huber units) and learns."""
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 200,
+        "train.log_every": 50,
+        "train.eval_every": 200,
+        "train.eval_steps": 4,
+        "train.ckpt_every": 200,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "train.pos_loss": "huber",
+        # delta scaled to the synthetic task's ~unit position spread
+        # (a 5 cm delta on ~0.6 m errors caps the pos gradient at ~1/20
+        # of MSE's -- correct outlier behavior, but this test wants
+        # convergence in 200 steps, not a robustness study)
+        "train.huber_delta": 0.5,
+        "data.synthetic_size": 512,
+    })
+    out = rppe.train(cfg)
+    m = out["metrics"]
+    # huber <= 0.5*mse everywhere; untrained pos_loss is ~0.15 here
+    assert m["pos_loss"] < 5e-3, m
+    assert m["eval_pos_loss"] < 5e-3, m
+
+
 def test_image_path_learns_from_fixture(tmp_path, demo_h5):
     """4-layer CNN regresses position from the fixture's drawn marker
     (config-2 style, BASELINE.json:8)."""
@@ -318,7 +343,8 @@ def test_evaluate_per_demo(tmp_path, demo_h5):
         "train.ckpt_dir": str(tmp_path / "ckpt"),
     })
     rppe.train(cfg)
-    out = rppe.evaluate(cfg, per_demo=True, percentiles=True)
+    out = rppe.evaluate(cfg, per_demo=True, percentiles=True,
+                        success_at=[(1e-4, 1e-4), (5.0, 30.0), (1e6, 1e6)])
     rows = out["per_demo"]
     assert set(rows) == {"demo_0", "demo_1", "demo_2"}
     assert all(r["steps"] == 20 for r in rows.values())
@@ -339,6 +365,17 @@ def test_evaluate_per_demo(tmp_path, demo_h5):
     lo = min(r["pos_mae_cm"] for r in rows.values())
     hi = max(r["pos_mae_cm"] for r in rows.values())
     assert lo * 0.1 <= out["pos_err_cm"]["p50"] <= hi * 10
+
+    # success_at shares the pass too: joint rate bounded by each
+    # marginal, rates monotone in the thresholds, trivial bounds exact
+    s = out["success"]
+    assert [(r["pos_cm"], r["rot_deg"]) for r in s] == [
+        (1e-4, 1e-4), (5.0, 30.0), (1e6, 1e6)]
+    for r in s:
+        assert r["rate"] <= min(r["pos_rate"], r["rot_rate"]) + 1e-9
+    assert s[0]["rate"] <= s[1]["rate"] <= s[2]["rate"]
+    assert s[0]["rate"] == 0.0    # an untrained net is never within 1e-4 cm
+    assert s[2]["rate"] == 1.0    # every sample is within 10 km / 1e6 deg
 
     # synthetic source: loud error, not a silent missing key
     cfg_syn = rppe.preset("pr1").override(**{
