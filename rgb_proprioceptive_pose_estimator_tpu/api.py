@@ -41,13 +41,29 @@ def train(cfg: Config) -> Dict[str, Any]:
     return fit(cfg)
 
 
-def _restore(cfg: Config, ckpt_dir: Optional[str], step: Optional[int]):
+def _restore(cfg: Config, ckpt_dir: Optional[str],
+             step: Union[int, str, None]):
     model = build_model(cfg.model)
     # same freeze mask as fit(): optax.masked changes the opt-state tree,
     # so the restore template must match the training-time structure
     tx = make_optimizer(cfg.train, frozen_prefixes_for(cfg))
     template = create_state(cfg, tx, seed=cfg.train.seed)
-    mngr = CheckpointManager(ckpt_dir or cfg.train.ckpt_dir,
+    base = ckpt_dir or cfg.train.ckpt_dir
+    if step == "best":
+        # fit() with train.ckpt_best_metric keeps the best-eval checkpoint
+        # under <ckpt_dir>/best (engine/loop.py); step="best" restores it
+        import os
+
+        base = os.path.join(base, "best")
+        if not os.path.isdir(base):
+            raise FileNotFoundError(
+                f"no best checkpoint at {base}: train with "
+                "train.ckpt_best_metric set (and train.eval_every > 0)")
+        step = None
+    elif isinstance(step, str):
+        raise ValueError(f"step must be an int, None, or 'best'; "
+                         f"got {step!r}")
+    mngr = CheckpointManager(base,
                              keep=cfg.train.ckpt_keep, async_save=False)
     state, _, got_step = mngr.restore(template, step)
     mngr.close()
@@ -55,7 +71,7 @@ def _restore(cfg: Config, ckpt_dir: Optional[str], step: Optional[int]):
 
 
 def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
-             step: Optional[int] = None,
+             step: Union[int, str, None] = None,
              max_batches: int = 0,
              split: str = "auto",
              data_path: Optional[str] = None,
@@ -219,7 +235,7 @@ class Predictor:
     """
 
     def __init__(self, cfg: Config, ckpt_dir: Optional[str] = None,
-                 step: Optional[int] = None, max_batch: int = 8,
+                 step: Union[int, str, None] = None, max_batch: int = 8,
                  state=None, model=None):
         self.cfg = cfg
         if state is None or model is None:
@@ -289,7 +305,8 @@ class Predictor:
 
 
 def predict(cfg: Config, obs: Dict[str, Any],
-            ckpt_dir: Optional[str] = None, step: Optional[int] = None
+            ckpt_dir: Optional[str] = None,
+            step: Union[int, str, None] = None
             ) -> Tuple[np.ndarray, np.ndarray]:
     """One-shot convenience wrapper; use `Predictor` for repeated calls."""
     return Predictor(cfg, ckpt_dir=ckpt_dir, step=step)(obs)

@@ -174,8 +174,10 @@ def main(argv=None) -> int:
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
                     help="dotted config override, repeatable")
     ap.add_argument("--ckpt-dir", default="", help="eval/predict: checkpoint dir")
-    ap.add_argument("--step", type=int, default=0,
-                    help="eval/predict: checkpoint step (0 = latest)")
+    ap.add_argument("--step", default="0",
+                    help="eval/predict/export: checkpoint step (0 = "
+                         "latest; 'best' = the train.ckpt_best_metric "
+                         "checkpoint under <ckpt_dir>/best)")
     ap.add_argument("--demo", type=int, default=0,
                     help="predict: demo index in data.path")
     ap.add_argument("--t", type=int, default=-1,
@@ -199,6 +201,15 @@ def main(argv=None) -> int:
                     help="predict: also write a predicted-vs-target "
                          "trajectory figure (whole-demo mode only)")
     args = ap.parse_args(argv)
+
+    if args.step == "best":
+        ckpt_step = "best"
+    else:
+        try:
+            ckpt_step = int(args.step) or None
+        except ValueError:
+            raise SystemExit(
+                f"--step must be an integer or 'best', got {args.step!r}")
 
     if args.command == "presets":
         for name in sorted(PRESETS):
@@ -269,7 +280,7 @@ def main(argv=None) -> int:
                 raise SystemExit(
                     f"--success-at: expected CM:DEG pairs, got {pair!r}")
         m = rppe.evaluate(cfg, ckpt_dir=args.ckpt_dir or None,
-                          step=args.step or None, per_demo=args.per_demo,
+                          step=ckpt_step, per_demo=args.per_demo,
                           percentiles=args.percentiles,
                           success_at=success_at)
         print(json.dumps(m, indent=2))
@@ -286,7 +297,7 @@ def main(argv=None) -> int:
 
         path = export_predictor(args.out, cfg,
                                 ckpt_dir=args.ckpt_dir or None,
-                                step=args.step or None,
+                                step=ckpt_step,
                                 max_batch=args.max_batch,
                                 quantize=args.quantize)
         print(json.dumps({"exported": path,
@@ -328,7 +339,7 @@ def main(argv=None) -> int:
         tquat = batch.pop("target_quat")
 
         pred = rppe.Predictor(cfg, ckpt_dir=args.ckpt_dir or None,
-                              step=args.step or None,
+                              step=ckpt_step,
                               max_batch=min(len(flat), 32))
         pos, quat = pred(batch)
         m = pose_metrics(pos, quat, tpos, tquat)

@@ -74,7 +74,7 @@ def jnp_float32():
 
 def export_predictor(path: str, cfg: Config, state=None,
                      ckpt_dir: Optional[str] = None,
-                     step: Optional[int] = None,
+                     step=None,
                      max_batch: int = 8,
                      quantize: str = "none") -> str:
     """Export a checkpointed (or given) TrainState as a serving artifact.

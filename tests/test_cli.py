@@ -57,6 +57,11 @@ def test_train_eval_predict_roundtrip(tmp_path, demo_h5, capsys):
         main(["eval", *common, "--success-at", "nonsense"])
     capsys.readouterr()
 
+    # --step takes an int or 'best'
+    with pytest.raises(SystemExit):
+        main(["eval", *common, "--step", "latest"])
+    capsys.readouterr()
+
     assert main(["predict", *common, "--demo", "1", "--t", "3"]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     rec = json.loads(lines[0])

@@ -76,8 +76,30 @@ def test_best_checkpoint_tracked(tmp_path):
 
     best = CheckpointManager(os.path.join(ckpt_dir, "best"), keep=1,
                              async_save=False)
-    assert best.latest_step() in (20, 40, 60)
+    best_step = best.latest_step()
+    assert best_step in (20, 40, 60)
     best.close()
+
+    # step="best" restores that checkpoint through every consumer's
+    # shared _restore path (evaluate / Predictor / export)
+    out = rppe.evaluate(cfg, step="best", max_batches=1)
+    assert out["step"] == best_step
+    with pytest.raises(ValueError):
+        rppe.evaluate(cfg, step="bogus", max_batches=1)
+
+
+def test_best_restore_without_best_dir_fails_loudly(tmp_path):
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 20,
+        "train.eval_every": 0,
+        "train.ckpt_every": 20,
+        "train.log_every": 20,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "data.synthetic_size": 128,
+    })
+    rppe.train(cfg)    # no ckpt_best_metric -> no best/ dir
+    with pytest.raises(FileNotFoundError, match="ckpt_best_metric"):
+        rppe.evaluate(cfg, step="best", max_batches=1)
 
 
 def test_best_metric_typo_fails_loudly(tmp_path):
