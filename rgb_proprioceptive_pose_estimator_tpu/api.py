@@ -77,7 +77,8 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
              data_path: Optional[str] = None,
              per_demo: bool = False,
              percentiles: bool = False,
-             success_at: Sequence[Tuple[float, float]] = ()) -> Dict[str, Any]:
+             success_at: Sequence[Tuple[float, float]] = (),
+             dump_predictions: str = "") -> Dict[str, Any]:
     """Restore a checkpoint and report metrics (pos MAE cm / rot MAE deg,
     BASELINE.json:2) over the eval transform pipeline (no augmentation).
 
@@ -105,7 +106,13 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     rotation error <= rot_deg (plus each marginal rate) -- the
     success-rate acceptance metric a robot stack gates deployments on
     (MAE averages over failures; a grasp either is or is not within
-    tolerance). Shares the per-sample pass with per_demo/percentiles."""
+    tolerance). Shares the per-sample pass with per_demo/percentiles.
+
+    dump_predictions="preds.npz" writes every per-sample prediction to an
+    npz for offline analysis (pred/target pos+quat, pos_err_cm,
+    rot_err_deg; plus demo_idx/t and demo_keys for hdf5 sources) and adds
+    "predictions_path" to the report -- the raw material for failure
+    triage beyond what per_demo/percentiles aggregate."""
     if data_path is not None:
         cfg = cfg.override(**{"data.path": data_path,
                               "data.source": "hdf5",
@@ -158,7 +165,7 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     out["step"] = got_step
     pipe.close()
 
-    if per_demo or percentiles or success_at:
+    if per_demo or percentiles or success_at or dump_predictions:
         from rgb_proprioceptive_pose_estimator_tpu.losses.pose import (
             pose_errors,
         )
@@ -172,6 +179,12 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
                          max_batch=min(64, n))
         pos_err = np.empty(n, np.float32)
         rot_err = np.empty(n, np.float32)
+        dump: Dict[str, np.ndarray] = {
+            "pred_pos": np.empty((n, 3), np.float32),
+            "pred_quat": np.empty((n, 4), np.float32),
+            "target_pos": np.empty((n, 3), np.float32),
+            "target_quat": np.empty((n, 4), np.float32),
+        } if dump_predictions else {}
         for lo in range(0, n, 256):
             idx = np.arange(lo, min(lo + 256, n))
             batch = dataset.get_batch(idx, augment=False, seed=0)
@@ -181,6 +194,22 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
             pe, re_ = pose_errors(pos, quat, tpos, tquat)
             pos_err[idx] = np.asarray(pe)
             rot_err[idx] = np.asarray(re_)
+            if dump:
+                dump["pred_pos"][idx] = pos
+                dump["pred_quat"][idx] = quat
+                dump["target_pos"][idx] = np.asarray(tpos, np.float32)
+                dump["target_quat"][idx] = np.asarray(tquat, np.float32)
+
+        if dump_predictions:
+            dump["pos_err_cm"] = pos_err
+            dump["rot_err_deg"] = rot_err
+            if hasattr(dataset, "_index"):   # hdf5: trajectory coordinates
+                dump["demo_idx"] = dataset._index[:, 0]
+                dump["t"] = dataset._index[:, 1]
+                dump["demo_keys"] = np.asarray(dataset._demo_keys)
+            np.savez(dump_predictions, **dump)
+            out["predictions_path"] = dump_predictions
+            out["n_samples"] = n
 
         if percentiles:
             def qtable(err: np.ndarray) -> Dict[str, float]:

@@ -200,6 +200,13 @@ def main(argv=None) -> int:
     ap.add_argument("--plot", default="", metavar="PNG",
                     help="predict: also write a predicted-vs-target "
                          "trajectory figure (whole-demo mode only)")
+    ap.add_argument("--dump-predictions", default="", metavar="NPZ",
+                    help="eval: write every per-sample prediction "
+                         "(pred/target pose, errors, demo/t) to an npz")
+    ap.add_argument("--sample", default="", metavar="PNG",
+                    help="inspect: also write a decoded sample-frame grid "
+                         "(first frame per camera x up to 4 demos) -- "
+                         "catches wrong camera keys / BGR channel order")
     args = ap.parse_args(argv)
 
     if args.step == "best":
@@ -260,7 +267,14 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "inspect":
-        print(json.dumps(inspect_dataset(cfg), indent=2))
+        report = inspect_dataset(cfg)
+        if args.sample:
+            from rgb_proprioceptive_pose_estimator_tpu.utils.viz import (
+                save_sample_grid,
+            )
+
+            report["sample"] = save_sample_grid(cfg, args.sample)
+        print(json.dumps(report, indent=2))
         return 0
 
     import rgb_proprioceptive_pose_estimator_tpu as rppe
@@ -282,7 +296,8 @@ def main(argv=None) -> int:
         m = rppe.evaluate(cfg, ckpt_dir=args.ckpt_dir or None,
                           step=ckpt_step, per_demo=args.per_demo,
                           percentiles=args.percentiles,
-                          success_at=success_at)
+                          success_at=success_at,
+                          dump_predictions=args.dump_predictions)
         print(json.dumps(m, indent=2))
         return 0
 

@@ -72,3 +72,59 @@ def plot_trajectory(pred_pos: np.ndarray, target_pos: np.ndarray,
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
+
+
+def save_sample_grid(cfg, path: str) -> dict:
+    """Write a decoded sample-frame grid (rows = cameras, cols = first
+    frame of up to 4 demos) through the SAME eval decode/resize path the
+    model trains on. The two classic silent data bugs this catches before
+    a wasted training run: a wrong `data.image_key_format`/camera name
+    (black or mismatched frames) and BGR-stored images (skin/table colors
+    inverted). Returns a small summary dict for the inspect report."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.pipeline import (
+        build_dataset,
+    )
+
+    cameras = list(cfg.model.cameras)
+    if cfg.model.backbone == "none" or not cameras:
+        raise ValueError("inspect --sample needs image input "
+                         "(model.cameras non-empty, model.backbone set)")
+    dataset = build_dataset(cfg, split="all")
+    if hasattr(dataset, "emit_image_indices"):
+        dataset.emit_image_indices = False   # want pixels, not cache ids
+
+    # first step of each of the first <=4 demos (hdf5); else first samples
+    if hasattr(dataset, "_index"):
+        starts = [int(np.nonzero(dataset._index[:, 0] == d)[0][0])
+                  for d in np.unique(dataset._index[:, 0])[:4]]
+        names = [dataset._demo_keys[int(dataset._index[i, 0])]
+                 for i in starts]
+    else:
+        starts = list(range(min(4, len(dataset))))
+        names = [f"sample {i}" for i in starts]
+    batch = dataset.get_batch(np.asarray(starts), augment=False, seed=0)
+
+    rows, cols = len(cameras), len(starts)
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows),
+                             squeeze=False, constrained_layout=True)
+    for r, cam in enumerate(cameras):
+        frames = np.asarray(batch["images"][cam])
+        if frames.ndim == 5:       # temporal (B, T, H, W, 3): latest frame
+            frames = frames[:, -1]
+        for c in range(cols):
+            ax = axes[r][c]
+            ax.imshow(frames[c])
+            ax.set_xticks([]), ax.set_yticks([])
+            if r == 0:
+                ax.set_title(names[c], fontsize=9)
+            if c == 0:
+                ax.set_ylabel(cam, fontsize=9)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return {"path": path, "cameras": cameras, "frames": names,
+            "decoded_hw": int(frames.shape[1])}

@@ -62,6 +62,16 @@ def test_train_eval_predict_roundtrip(tmp_path, demo_h5, capsys):
         main(["eval", *common, "--step", "latest"])
     capsys.readouterr()
 
+    # inspect --sample writes the decoded-frame grid through the eval path
+    grid = str(tmp_path / "grid.png")
+    assert main(["inspect", *common, "--sample", grid]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["sample"]["path"] == grid
+    assert report["sample"]["decoded_hw"] == 64
+    import os
+
+    assert os.path.getsize(grid) > 1000
+
     assert main(["predict", *common, "--demo", "1", "--t", "3"]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     rec = json.loads(lines[0])

@@ -343,8 +343,10 @@ def test_evaluate_per_demo(tmp_path, demo_h5):
         "train.ckpt_dir": str(tmp_path / "ckpt"),
     })
     rppe.train(cfg)
+    npz_path = str(tmp_path / "preds.npz")
     out = rppe.evaluate(cfg, per_demo=True, percentiles=True,
-                        success_at=[(1e-4, 1e-4), (5.0, 30.0), (1e6, 1e6)])
+                        success_at=[(1e-4, 1e-4), (5.0, 30.0), (1e6, 1e6)],
+                        dump_predictions=npz_path)
     rows = out["per_demo"]
     assert set(rows) == {"demo_0", "demo_1", "demo_2"}
     assert all(r["steps"] == 20 for r in rows.values())
@@ -376,6 +378,22 @@ def test_evaluate_per_demo(tmp_path, demo_h5):
     assert s[0]["rate"] <= s[1]["rate"] <= s[2]["rate"]
     assert s[0]["rate"] == 0.0    # an untrained net is never within 1e-4 cm
     assert s[2]["rate"] == 1.0    # every sample is within 10 km / 1e6 deg
+
+    # dump_predictions: the npz carries the same per-sample pass
+    assert out["predictions_path"] == npz_path
+    dump = np.load(npz_path)
+    assert dump["pred_pos"].shape == (60, 3)
+    assert dump["pred_quat"].shape == (60, 4)
+    # quantiles recompute exactly from the dumped errors
+    np.testing.assert_allclose(
+        np.percentile(dump["pos_err_cm"], 50), out["pos_err_cm"]["p50"],
+        atol=5e-4)
+    # per-demo rows recompute from the dumped trajectory coordinates
+    d0 = dump["demo_idx"] == 0
+    key0 = str(dump["demo_keys"][0])
+    np.testing.assert_allclose(dump["pos_err_cm"][d0].mean(),
+                               rows[key0]["pos_mae_cm"], atol=5e-4)
+    assert list(dump["t"][d0]) == list(range(20))
 
     # synthetic source: loud error, not a silent missing key
     cfg_syn = rppe.preset("pr1").override(**{
