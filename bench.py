@@ -61,7 +61,7 @@ PEAK_BF16 = {
 
 def bench_config(preset_name: str, image_size: int, dtype: str,
                  per_chip: int, steps: int, warmup: int,
-                 use_pallas: bool, unroll: int = 8, windows: int = 3,
+                 use_pallas: bool, unroll: int = 8, windows: int = 5,
                  tuned: bool = True, overrides=None):
     """Run the jitted train step on device-resident batches; returns a
     dict of measurements. `steps` counts optimizer steps per window."""

@@ -170,11 +170,16 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
             pose_errors,
         )
 
+        if dump_predictions and not dump_predictions.endswith(".npz"):
+            dump_predictions += ".npz"   # np.savez appends it silently;
+            # predictions_path must name the file that actually exists
+
         # one per-sample prediction pass over the whole split feeds both
         # reports. raw-observation path: get_batch must return pixels, not
         # device-cache gather indices
         dataset.emit_image_indices = False
         n = len(dataset)
+        out["n_samples"] = n
         pred = Predictor(cfg, state=state, model=model,
                          max_batch=min(64, n))
         pos_err = np.empty(n, np.float32)
@@ -209,7 +214,6 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
                 dump["demo_keys"] = np.asarray(dataset._demo_keys)
             np.savez(dump_predictions, **dump)
             out["predictions_path"] = dump_predictions
-            out["n_samples"] = n
 
         if percentiles:
             def qtable(err: np.ndarray) -> Dict[str, float]:
@@ -221,7 +225,6 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
 
             out["pos_err_cm"] = qtable(pos_err)
             out["rot_err_deg"] = qtable(rot_err)
-            out["n_samples"] = n
 
         if success_at:
             rows = []
@@ -236,7 +239,6 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
                     "rot_rate": round(float(rot_ok.mean()), 4),
                 })
             out["success"] = rows
-            out["n_samples"] = n
 
         if per_demo:
             demo_ids = dataset._index[:, 0]

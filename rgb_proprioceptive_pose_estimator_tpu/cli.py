@@ -273,7 +273,10 @@ def main(argv=None) -> int:
                 save_sample_grid,
             )
 
-            report["sample"] = save_sample_grid(cfg, args.sample)
+            try:
+                report["sample"] = save_sample_grid(cfg, args.sample)
+            except ValueError as e:
+                raise SystemExit(str(e))
         print(json.dumps(report, indent=2))
         return 0
 
@@ -337,6 +340,8 @@ def main(argv=None) -> int:
         if cfg.data.source != "hdf5":
             raise SystemExit("predict requires an hdf5 data source "
                              "(set data.path)")
+        if args.plot and args.t != -1:
+            raise SystemExit("--plot plots a whole trajectory; drop --t")
         ds = build_dataset(cfg)
         # flat indices of the requested demo/timesteps
         demo_mask = ds._index[:, 0] == args.demo
@@ -368,8 +373,6 @@ def main(argv=None) -> int:
         summary = {"pos_mae_cm": round(float(m["pos_mae_cm"]), 3),
                    "rot_mae_deg": round(float(m["rot_mae_deg"]), 3)}
         if args.plot:
-            if args.t != -1:
-                raise SystemExit("--plot plots a whole trajectory; drop --t")
             from rgb_proprioceptive_pose_estimator_tpu.losses.pose import (
                 pose_errors,
             )
