@@ -168,7 +168,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rppe")
     ap.add_argument("command",
                     choices=["train", "eval", "predict", "export", "config",
-                             "presets", "info", "inspect"])
+                             "presets", "info", "inspect", "curves"])
     ap.add_argument("--preset", default="pr1", choices=sorted(PRESETS))
     ap.add_argument("--config", default="", help="JSON config file")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
@@ -183,7 +183,8 @@ def main(argv=None) -> int:
     ap.add_argument("--t", type=int, default=-1,
                     help="predict: timestep (-1 = all steps of the demo)")
     ap.add_argument("--out", default="pose.rppe",
-                    help="export: artifact output path")
+                    help="export: artifact output path; "
+                         "curves: figure path (default curves.png)")
     ap.add_argument("--max-batch", type=int, default=8,
                     help="export: compiled batch size of the artifact")
     ap.add_argument("--quantize", default="none", choices=["none", "int8"],
@@ -203,6 +204,10 @@ def main(argv=None) -> int:
     ap.add_argument("--dump-predictions", default="", metavar="NPZ",
                     help="eval: write every per-sample prediction "
                          "(pred/target pose, errors, demo/t) to an npz")
+    ap.add_argument("--metrics", default="", metavar="JSONL",
+                    help="curves: metrics file (default "
+                         "<train.ckpt_dir>/metrics.jsonl or "
+                         "train.metrics_path)")
     ap.add_argument("--sample", default="", metavar="PNG",
                     help="inspect: also write a decoded sample-frame grid "
                          "(first frame per camera x up to 4 demos) -- "
@@ -264,6 +269,27 @@ def main(argv=None) -> int:
             "params_by_module": per,
             "batch_stats_elems": n_elems(shapes.get("batch_stats", {})),
         }, indent=2))
+        return 0
+
+    if args.command == "curves":
+        # training-curve figure from the run's metrics JSONL (loss / MAE /
+        # throughput / lr / queue depth vs step)
+        import os
+
+        from rgb_proprioceptive_pose_estimator_tpu.utils.viz import (
+            plot_metrics,
+        )
+
+        src = (args.metrics or cfg.train.metrics_path
+               or os.path.join(cfg.train.ckpt_dir, "metrics.jsonl"))
+        if not os.path.exists(src):
+            raise SystemExit(f"no metrics file at {src} (train first, or "
+                             "pass --metrics)")
+        out_png = args.out if args.out != "pose.rppe" else "curves.png"
+        try:
+            print(json.dumps(plot_metrics(src, out_png)))
+        except ValueError as e:
+            raise SystemExit(str(e))
         return 0
 
     if args.command == "inspect":

@@ -128,3 +128,97 @@ def save_sample_grid(cfg, path: str) -> dict:
     plt.close(fig)
     return {"path": path, "cameras": cameras, "frames": names,
             "decoded_hw": int(frames.shape[1])}
+
+
+# fixed categorical assignment for the metrics curves: the train series
+# is always slot 1 (blue), the eval series always slot 2 (orange) --
+# identity follows the entity, never panel-local order
+_EVAL = "#eb6834"
+
+
+def plot_metrics(jsonl_path: str, path: str, title: str = "") -> dict:
+    """Render training curves from a metrics JSONL (utils/metrics.py
+    format: records keyed `step` + `train/...` or `eval/...` scalars) --
+    the loss/MAE/throughput view a research user reads after every run.
+
+    Panels (only those with data are drawn): loss (train+eval),
+    eval pos MAE cm, eval rot MAE deg, images/sec/chip, learning rate,
+    host queue depth. Returns {path, steps, panels}."""
+    import json as _json
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series: dict = {}
+    with open(jsonl_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = _json.loads(line)
+            step = rec.get("step")
+            if step is None:
+                continue
+            for k, v in rec.items():
+                if k in ("step", "ts") or not isinstance(v, (int, float)):
+                    continue
+                series.setdefault(k, []).append((step, float(v)))
+
+    def get(key):
+        pts = series.get(key)
+        if not pts:
+            return None
+        pts = sorted(pts)
+        return (np.array([p[0] for p in pts]),
+                np.array([p[1] for p in pts]))
+
+    # panel spec: (title, ylabel, [(key, label, color)], log_y)
+    spec = [
+        ("loss", "loss", [("train/loss", "train", _PRED),
+                          ("eval/loss", "eval", _EVAL)], True),
+        ("position MAE", "cm", [("eval/pos_mae_cm", "eval", _EVAL)], False),
+        ("rotation MAE", "deg", [("eval/rot_mae_deg", "eval", _EVAL)], False),
+        ("throughput", "images/sec/chip",
+         [("train/images_per_sec_per_chip", "train", _PRED)], False),
+        ("learning rate", "lr", [("train/lr", "train", _PRED)], False),
+        ("host queue depth", "batches",
+         [("train/host_queue_depth", "train", _PRED)], False),
+    ]
+    panels = [(t, yl, [(get(k), lab, c) for k, lab, c in sp if get(k)], lg)
+              for t, yl, sp, lg in spec]
+    panels = [p for p in panels if p[2]]
+    if not panels:
+        raise ValueError(f"no plottable metrics in {jsonl_path}")
+
+    ncol = 2 if len(panels) > 1 else 1
+    nrow = (len(panels) + ncol - 1) // ncol
+    fig, axes = plt.subplots(nrow, ncol, figsize=(5.5 * ncol, 3.2 * nrow),
+                             squeeze=False, constrained_layout=True)
+    fig.set_facecolor("#fcfcfb")
+    flat = [ax for row in axes for ax in row]
+    for ax in flat[len(panels):]:
+        ax.set_visible(False)
+    max_step = 0
+    for ax, (ptitle, ylabel, lines, log_y) in zip(flat, panels):
+        ax.set_facecolor("#fcfcfb")
+        ax.grid(True, color=_GRID, linewidth=0.6)
+        for side in ("top", "right"):
+            ax.spines[side].set_visible(False)
+        for (xs, ys), lab, color in lines:
+            ax.plot(xs, ys, color=color, linewidth=2.0, label=lab)
+            max_step = max(max_step, int(xs.max()))
+        if log_y and all((ys > 0).all() for (_, ys), _, _ in lines):
+            ax.set_yscale("log")
+        ax.set_title(ptitle, fontsize=10, loc="left")
+        ax.set_ylabel(ylabel)
+        ax.set_xlabel("step")
+        if len(lines) > 1:
+            ax.legend(loc="upper right", frameon=False, fontsize=9)
+    if title:
+        fig.suptitle(title, fontsize=11)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return {"path": path, "steps": max_step,
+            "panels": [p[0] for p in panels]}

@@ -62,6 +62,18 @@ def test_train_eval_predict_roundtrip(tmp_path, demo_h5, capsys):
         main(["eval", *common, "--step", "latest"])
     capsys.readouterr()
 
+    # curves renders the run's metrics JSONL
+    png = str(tmp_path / "curves.png")
+    assert main(["curves", *common, "--out", png]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["path"] == png and rep["steps"] == 8
+    assert "loss" in rep["panels"]
+
+    with pytest.raises(SystemExit):   # missing metrics file is loud
+        main(["curves", *common, "--set",
+              f"train.ckpt_dir={tmp_path / 'nope'}"])
+    capsys.readouterr()
+
     # inspect --sample writes the decoded-frame grid through the eval path
     grid = str(tmp_path / "grid.png")
     assert main(["inspect", *common, "--sample", grid]) == 0
