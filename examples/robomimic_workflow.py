@@ -78,11 +78,18 @@ def main() -> None:
     if "early_stopped_at" in m:
         print(f"early-stopped at step {int(m['early_stopped_at'])}")
 
-    rows = rppe.evaluate(cfg, per_demo=True)
+    rows = rppe.evaluate(cfg, per_demo=True,
+                         success_at=[(2.0, 10.0), (5.0, 30.0)],
+                         dump_predictions=os.path.join(work, "preds.npz"))
     print("per-demo held-out breakdown (file-qualified names):")
     for name, r in rows["per_demo"].items():
         print(f"  {name}: {r['pos_mae_cm']:.1f} cm / "
               f"{r['rot_mae_deg']:.1f} deg over {r['steps']} steps")
+    for s in rows["success"]:
+        print(f"  success @ {s['pos_cm']:g} cm & {s['rot_deg']:g} deg: "
+              f"{100 * s['rate']:.0f}% (pos {100 * s['pos_rate']:.0f}% / "
+              f"rot {100 * s['rot_rate']:.0f}%)")
+    print(f"per-sample predictions: {rows['predictions_path']}")
 
 
 if __name__ == "__main__":
