@@ -315,6 +315,25 @@ class Predictor:
         batch = jax.tree.map(padded, batch)
         return batch, n, unbatched
 
+    def warmup(self) -> "Predictor":
+        """Pay the one-time jit compile (and any device handshakes) now,
+        before a latency-sensitive control loop starts: runs one zeroed
+        max_batch-shaped call end-to-end. Subsequent calls execute the
+        same compiled shape (see __call__). Returns self for chaining."""
+        m = self.cfg.model
+        t = (m.temporal_frames,) if m.temporal_frames > 1 else ()
+        obs: Dict[str, Any] = {}
+        if m.backbone != "none":
+            hw = (m.image_size, m.image_size, 3)
+            obs["images"] = {
+                c: np.zeros((self.max_batch, *t, *hw), np.uint8)
+                for c in m.cameras}
+        if m.use_proprio:
+            obs["proprio"] = np.zeros(
+                (self.max_batch, *t, m.proprio_dim), np.float32)
+        self(obs)
+        return self
+
     def __call__(self, obs: Dict[str, Any]) -> Tuple[np.ndarray, np.ndarray]:
         batch, n, unbatched = self._batched(obs)
         # run in max_batch-size chunks: every call executes the ONE compiled

@@ -99,8 +99,9 @@ def test_evaluate_and_predict_api(tmp_path):
     assert pos.shape == (3,) and quat.shape == (4,)
     np.testing.assert_allclose(np.linalg.norm(quat), 1.0, atol=1e-5)
 
-    # Predictor: batched obs, no recompile across calls, padding exercised
-    pred = rppe.Predictor(cfg, max_batch=8)
+    # Predictor: batched obs, no recompile across calls, padding exercised;
+    # warmup() pre-compiles the one served shape and chains
+    pred = rppe.Predictor(cfg, max_batch=8).warmup()
     batch_obs = {"proprio": np.random.RandomState(1).randn(
         3, cfg.model.proprio_dim).astype(np.float32)}
     pos_b, quat_b = pred(batch_obs)
@@ -456,3 +457,44 @@ def test_rot6d_head_learns_orientation(tmp_path):
     assert pos.shape == (4, 3) and quat.shape == (4, 4)
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(quat), axis=-1), 1.0, atol=1e-4)
+
+
+def test_predictor_warmup_image_temporal():
+    """warmup() builds a correctly-shaped zero observation for every input
+    modality (multi-camera images x temporal window x proprio) and leaves
+    the predictor serving real calls."""
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import (
+        create_state,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_optimizer,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.models.fusion import (
+        build_model,
+    )
+
+    cfg = rppe.preset("pr2").override(**{
+        "model.backbone": "cnn_small",
+        "model.image_size": 32,
+        "model.image_features": 16,
+        "model.head_hidden": (16,),
+        "model.proprio_dim": 8,
+        "model.proprio_hidden": (16,),
+        "model.proprio_features": 8,
+        "model.cameras": ("agentview", "wrist"),
+        "model.temporal_frames": 2,
+    })
+    tx = make_optimizer(cfg.train)
+    state = create_state(cfg, tx, seed=0)
+    model = build_model(cfg.model)
+    pred = rppe.Predictor(cfg, state=state, model=model,
+                          max_batch=2).warmup()
+
+    rs = np.random.RandomState(0)
+    obs = {
+        "images": {c: rs.randint(0, 255, (2, 32, 32, 3), np.uint8)
+                   for c in cfg.model.cameras},
+        "proprio": rs.randn(2, 8).astype(np.float32),
+    }
+    pos, quat = pred(obs)
+    assert pos.shape == (3,) and quat.shape == (4,)   # unbatched (T, ...)
