@@ -186,9 +186,12 @@ def plot_metrics(jsonl_path: str, path: str, title: str = "") -> dict:
         ("host queue depth", "batches",
          [("train/host_queue_depth", "train", _PRED)], False),
     ]
-    panels = [(t, yl, [(get(k), lab, c) for k, lab, c in sp if get(k)], lg)
-              for t, yl, sp, lg in spec]
-    panels = [p for p in panels if p[2]]
+    panels = []
+    for t, yl, sp, lg in spec:
+        lines = [(pts, lab, c) for k, lab, c in sp
+                 if (pts := get(k)) is not None]
+        if lines:
+            panels.append((t, yl, lines, lg))
     if not panels:
         raise ValueError(f"no plottable metrics in {jsonl_path}")
 
