@@ -690,6 +690,13 @@ def write_demo_fixture(
     # robomimic filter keys: {"name": [demo indices]} written as
     # mask/<name> datasets of demo-name bytes (data.filter_key reads them)
     filter_keys=None,
+    # Mislabeled-frame corruption (the failure mode train.pos_loss="huber"
+    # exists for): this fraction of frames gets its stored POSITION label
+    # replaced with a uniform-random point, AFTER rendering -- the image
+    # still shows the true pose, only the label lies. Drawn from a
+    # separate RNG stream, so a clean twin written with the same seed has
+    # bit-identical images/proprio and differs only in the bad labels.
+    label_outlier_frac: float = 0.0,
 ) -> str:
     """Write a tiny robomimic-layout HDF5 demo file whose images are
     *informative*: a bright marker is drawn at the pixel projection of the
@@ -716,6 +723,8 @@ def write_demo_fixture(
     reflection maps R to MRM, so satellites of the mirrored quat are
     exactly the mirrored satellites; their z/color is unchanged)."""
     rs = np.random.RandomState(seed)
+    rs_outlier = np.random.RandomState(seed + 90210)  # own stream: a clean
+    # same-seed twin keeps bit-identical images/proprio (see param doc)
     with h5py.File(path, "w") as f:
         data = f.create_group("data")
         data.attrs["env"] = "Lift_fixture"
@@ -751,6 +760,10 @@ def write_demo_fixture(
             obj[:, :3] = label_pos
             obj[:, 3:7] = quat
             obj[:, 7:10] = rs.randn(steps, 3) * 0.1   # filler (gripper-to-obj)
+            if label_outlier_frac > 0:
+                bad = rs_outlier.rand(steps) < label_outlier_frac
+                obj[bad, :3] = rs_outlier.uniform(
+                    0.0, 1.0, (int(bad.sum()), 3)).astype(np.float32)
 
             # smooth random walk, independent of the target pose
             proprio = np.empty((steps, proprio_dim), np.float32)

@@ -71,6 +71,12 @@ FIXTURES = {
     # the model.proprio_normalize rows
     "scaled": {"proprio_pose_noise": 0.05,
                "proprio_scale": tuple(np.logspace(-2.0, 3.0, 32))},
+    # mislabeled-frame corruption (train.pos_loss="huber" justification):
+    # 20% of TRAIN position labels replaced with uniform-random points
+    # (images stay honest); scored against a CLEAN different-seed val
+    # file so the metric measures robustness, not corrupted ground truth
+    "outlier": {"label_outlier_frac": 0.2},
+    "clean_val": {"seed": 99},
 }
 
 ROWS = {
@@ -144,6 +150,19 @@ ROWS = {
     "image+scaled-proprio (raw)": {"_fixture": "scaled"},
     "image+scaled-proprio (normalized)": {
         "_fixture": "scaled", "model.proprio_normalize": True},
+    # --- train.pos_loss="huber" vs "mse" on 20%-mislabeled train data --
+    # (clean held-out val file: the linear tails should cap the pull of
+    # the bad labels; MSE fits them)
+    "image-only (outlier-labels mse)": {
+        "_fixture": "outlier", "_val_fixture": "clean_val",
+        "model.use_proprio": False},
+    "image-only (outlier-labels huber)": {
+        "_fixture": "outlier", "_val_fixture": "clean_val",
+        "model.use_proprio": False,
+        "train.pos_loss": "huber", "train.huber_delta": 0.05},
+    # clean-train control: the no-corruption floor for the pair above
+    "image-only (clean-labels mse)": {
+        "_val_fixture": "clean_val", "model.use_proprio": False},
     # --- pr4: resnet50 @ 224 bf16 held-out MAE -------------------------
     "resnet50-224-bf16 (pr4)": {
         "model.backbone": "resnet50", "model.image_size": 224,
@@ -176,9 +195,10 @@ def main() -> None:
         if not os.path.exists(path):
             kw = dict(FIXTURES[fname])
             kw.setdefault("cameras", ("agentview",))
+            kw.setdefault("seed", 7)
             write_demo_fixture(path, n_demos=args.demos,
                                steps=args.demo_steps,
-                               image_hw=args.image_hw, seed=7, **kw)
+                               image_hw=args.image_hw, **kw)
         return path
 
     want = set(r.strip() for r in args.rows.split(",")) if args.rows else None
@@ -192,6 +212,11 @@ def main() -> None:
             continue
         over = dict(over)
         row_fixture = fixture_path(over.pop("_fixture", "plain"))
+        val_fixture = over.pop("_val_fixture", "")
+        if val_fixture:
+            # separate clean held-out file replaces fraction splitting
+            over.setdefault("data.val_path", fixture_path(val_fixture))
+            over.setdefault("data.val_fraction", 0.0)
         ckpt_dir = os.path.join(args.out, name.split()[0].replace("+", "_"))
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         cfg = preset("pr3").override(**{

@@ -725,3 +725,37 @@ def test_multikey_target(tmp_path):
     with pytest.raises(ValueError, match="disagree on"):
         HDF5DemoStore(p, target_key="obs/cube_pos_short,obs/cube_quat",
                       **kw)
+
+
+def test_fixture_label_outliers_corrupt_labels_not_pixels(tmp_path):
+    """label_outlier_frac replaces ~that fraction of stored position
+    labels AFTER rendering: a clean same-seed twin has bit-identical
+    images/proprio/quats, and only position labels differ."""
+    import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        write_demo_fixture,
+    )
+
+    kw = dict(n_demos=3, steps=40, cameras=("agentview",), image_hw=48,
+              proprio_dim=8, seed=7)
+    clean = write_demo_fixture(str(tmp_path / "clean.hdf5"), **kw)
+    dirty = write_demo_fixture(str(tmp_path / "dirty.hdf5"),
+                               label_outlier_frac=0.25, **kw)
+
+    n_bad = n_total = 0
+    with h5py.File(clean) as fc, h5py.File(dirty) as fd:
+        for d in ("demo_0", "demo_1", "demo_2"):
+            oc = fc[f"data/{d}/obs"]
+            od = fd[f"data/{d}/obs"]
+            np.testing.assert_array_equal(oc["agentview_image"][:],
+                                          od["agentview_image"][:])
+            np.testing.assert_array_equal(oc["robot0_proprio-state"][:],
+                                          od["robot0_proprio-state"][:])
+            np.testing.assert_array_equal(oc["object"][:, 3:7],
+                                          od["object"][:, 3:7])
+            diff = np.any(oc["object"][:, :3] != od["object"][:, :3],
+                          axis=-1)
+            n_bad += int(diff.sum())
+            n_total += diff.size
+    assert 0.10 <= n_bad / n_total <= 0.45   # ~0.25, binomial slack
