@@ -322,7 +322,14 @@ class TrainConfig:
     # Note the torch conventions differ by the 0.5 inside the quadratic
     # zone: huber(delta=inf) == 0.5 * mse.
     pos_loss: str = "mse"
-    huber_delta: float = 0.05      # meters (5 cm elbow)
+    # huber elbow in METERS. Set it between your model's typical (inlier)
+    # position error and the outlier distance -- a generous inlier error
+    # bound. Too small puts inliers in the linear zone: an L1-like loss
+    # whose capped gradients train measurably slower (docs/DESIGN.md
+    # "Huber position loss" -- delta=0.05 lost to MSE where residuals
+    # were ~0.13 m; delta=0.15 recovered ~40% of a 20%-mislabeled
+    # corruption penalty).
+    huber_delta: float = 0.05
     rot_loss: str = "chordal"      # "chordal" (1-<q,q'>^2) | "geodesic"
     seed: int = 0
     # exponential moving average of the float32 parameters, updated inside

@@ -160,6 +160,14 @@ ROWS = {
         "_fixture": "outlier", "_val_fixture": "clean_val",
         "model.use_proprio": False,
         "train.pos_loss": "huber", "train.huber_delta": 0.05},
+    # delta between the inlier residual scale (~0.1 m held-out here) and
+    # the outlier distance (~0.4 m): inliers keep their full quadratic
+    # gradient, outliers are capped. delta=0.05 (above) puts even inliers
+    # in the linear zone -- measured to undertrain at this step budget
+    "image-only (outlier-labels huber d15)": {
+        "_fixture": "outlier", "_val_fixture": "clean_val",
+        "model.use_proprio": False,
+        "train.pos_loss": "huber", "train.huber_delta": 0.15},
     # clean-train control: the no-corruption floor for the pair above
     "image-only (clean-labels mse)": {
         "_val_fixture": "clean_val", "model.use_proprio": False},
