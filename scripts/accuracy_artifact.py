@@ -257,7 +257,10 @@ def main() -> None:
         results[name] = {"pos_mae_cm": round(best["pos_mae_cm"], 2),
                          "rot_mae_deg": round(best["rot_mae_deg"], 2),
                          "steps": args.steps,
-                         "held_out_demos": int(args.demos * 0.2)}
+                         # val_path rows score a whole separate clean file;
+                         # fraction rows hold out 20% of the train demos
+                         "held_out_demos": (args.demos if val_fixture
+                                            else int(args.demos * 0.2))}
         print(json.dumps({name: results[name]}), flush=True)
         with open(results_path, "w") as f:
             json.dump(results, f, indent=2)
