@@ -168,7 +168,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rppe")
     ap.add_argument("command",
                     choices=["train", "eval", "predict", "export", "config",
-                             "presets", "info", "inspect", "curves"])
+                             "presets", "info", "inspect", "curves",
+                             "render"])
     ap.add_argument("--preset", default="pr1", choices=sorted(PRESETS))
     ap.add_argument("--config", default="", help="JSON config file")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
@@ -204,6 +205,15 @@ def main(argv=None) -> int:
     ap.add_argument("--dump-predictions", default="", metavar="NPZ",
                     help="eval: write every per-sample prediction "
                          "(pred/target pose, errors, demo/t) to an npz")
+    ap.add_argument("--src", default="", metavar="HDF5",
+                    help="render: state-playback demo file(s) "
+                         "(robosuite layout: data/demo_N/states + "
+                         "model_file attr)")
+    ap.add_argument("--target-body", default="cube",
+                    help="render: MuJoCo body whose world pose becomes "
+                         "obs/object")
+    ap.add_argument("--max-demos", type=int, default=0,
+                    help="render: cap demos per file (0 = all)")
     ap.add_argument("--metrics", default="", metavar="JSONL",
                     help="curves: metrics file (default "
                          "<train.ckpt_dir>/metrics.jsonl or "
@@ -269,6 +279,34 @@ def main(argv=None) -> int:
             "params_by_module": per,
             "batch_stats_elems": n_elems(shapes.get("batch_stats", {})),
         }, indent=2))
+        return 0
+
+    if args.command == "render":
+        # state-playback ingestion (SURVEY.md section 1.3): replay
+        # data/demo_N/states through MuJoCo offscreen rendering and
+        # materialize a robomimic-layout file (obs/<cam>_image, obs/qpos,
+        # obs/qvel, obs/object) that train/eval consume via data.path.
+        # Cameras + resolution come from the config (model.cameras,
+        # model.image_size).
+        from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+            render_playback_dataset,
+        )
+
+        if not args.src:
+            raise SystemExit("render requires --src (a states demo file)")
+        out_path = args.out if args.out != "pose.rppe" else "rendered.hdf5"
+        try:
+            summary = render_playback_dataset(
+                args.src, out_path, cameras=tuple(cfg.model.cameras),
+                image_hw=cfg.model.image_size,
+                target_body=args.target_body, max_demos=args.max_demos)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        summary["out"] = out_path
+        summary["next"] = (f"train with data.path={out_path} "
+                           "data.proprio_key=obs/qpos,obs/qvel "
+                           "data.target_key=obs/object")
+        print(json.dumps(summary))
         return 0
 
     if args.command == "curves":

@@ -1,0 +1,274 @@
+"""robosuite state-playback ingestion: render observations from demo
+files that store only MuJoCo sim states.
+
+The robosuite demonstration collector (`[RECALL]` SURVEY.md section 1.3;
+robosuite gather_demonstrations_as_hdf5) writes demos WITHOUT rendered
+observations: `data/demo_N/states` is the flattened MuJoCo sim state per
+step ([time, qpos, qvel] — the mujoco-py MjSimState layout) and the MJCF
+model XML rides along as the `model_file` attribute. The reference
+re-renders observations by playing those states back through robosuite.
+
+This module is the TPU-native equivalent built on plain `mujoco`
+offscreen rendering (EGL, software mesa works headless — no robosuite
+needed, PROVIDED the MJCF is self-contained or its referenced assets
+exist on disk): it replays every state, renders the requested cameras,
+extracts the target body's world pose, and MATERIALIZES a standard
+robomimic-layout HDF5 (`obs/<cam>_image`, `obs/qpos`, `obs/qvel`,
+`obs/object`) that the existing `HDF5DemoStore` pipeline — splits,
+caching, device_cache, everything — consumes unchanged. One-time
+conversion rather than render-in-the-hot-loop: GL rendering is
+~ms/frame, which belongs in a preprocessing pass, not in a 20k img/s
+input pipeline (same philosophy as the decode-once resize cache).
+
+Proprio note: robosuite's `robot0_proprio-state` is computed by env code
+this environment does not have; the faithful raw equivalent is the
+joint state itself. `obs/qpos`/`obs/qvel` EXCLUDE the dofs of the target
+body's own joints (a free-floating target's pose would otherwise leak
+the label into proprio — the r1 fixture bug, relearned for real data);
+consume them with `data.proprio_key="obs/qpos,obs/qvel"`.
+
+Layout handled per demo group:
+  states: (T, 1 + nq + nv [+ na...]) robosuite/mujoco-py flatten (time
+          column), or (T, nq + nv) raw concatenation — detected by width.
+  model_file attr on the demo group, on `data`, or passed explicitly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _import_mujoco():
+    # EGL before first import: headless GL on this stack needs both knobs
+    # (MUJOCO_GL picks mujoco's context class, PYOPENGL_PLATFORM keeps
+    # PyOpenGL off GLX, which needs an X display)
+    os.environ.setdefault("MUJOCO_GL", "egl")
+    os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
+    import mujoco
+
+    return mujoco
+
+
+def split_state(state: np.ndarray, nq: int, nv: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Split one flattened sim state into (qpos, qvel). Accepts the
+    robosuite/mujoco-py layout [time, qpos, qvel, ...] and the raw
+    [qpos, qvel] concatenation; anything else is a loud error."""
+    w = state.shape[-1]
+    if w >= 1 + nq + nv and not w == nq + nv:
+        return state[1:1 + nq], state[1 + nq:1 + nq + nv]
+    if w == nq + nv:
+        return state[:nq], state[nq:nq + nv]
+    raise ValueError(
+        f"state width {w} matches neither [time,qpos,qvel,...] "
+        f"(>= {1 + nq + nv}) nor [qpos,qvel] ({nq + nv}) for a model "
+        f"with nq={nq}, nv={nv}")
+
+
+def _target_dof_mask(mujoco, model, target_body: str
+                     ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Boolean keep-masks over (qpos, qvel) excluding every joint that
+    belongs to the target body or its descendants (their state IS the
+    label), plus the target body id."""
+    bid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY, target_body)
+    if bid < 0:
+        names = [mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_BODY, i)
+                 for i in range(model.nbody)]
+        raise ValueError(f"target body {target_body!r} not in model "
+                         f"(bodies: {names})")
+    # descendants: body_parentid chains upward
+    target_bodies = {bid}
+    for b in range(model.nbody):
+        p = b
+        while p > 0:
+            p = int(model.body_parentid[p])
+            if p in target_bodies:
+                target_bodies.add(b)
+                break
+    qpos_keep = np.ones(model.nq, bool)
+    qvel_keep = np.ones(model.nv, bool)
+    sizes_q = {0: 7, 1: 4, 2: 1, 3: 1}   # free, ball, slide, hinge
+    sizes_v = {0: 6, 1: 3, 2: 1, 3: 1}
+    for j in range(model.njnt):
+        if int(model.jnt_bodyid[j]) in target_bodies:
+            qa, va = int(model.jnt_qposadr[j]), int(model.jnt_dofadr[j])
+            t = int(model.jnt_type[j])
+            qpos_keep[qa:qa + sizes_q[t]] = False
+            qvel_keep[va:va + sizes_v[t]] = False
+    return qpos_keep, qvel_keep, bid
+
+
+def render_playback_dataset(
+    src_path: str,
+    out_path: str,
+    cameras: Sequence[str] = ("agentview",),
+    image_hw: int = 128,
+    target_body: str = "cube",
+    model_xml: Optional[str] = None,
+    max_demos: int = 0,
+) -> Dict[str, int]:
+    """Replay `states` demos from `src_path` and write a rendered
+    robomimic-layout HDF5 to `out_path`. Returns a summary dict.
+
+    model_xml overrides the files' `model_file` attrs (for demo files
+    that reference an external model). Renderers are cached per distinct
+    model XML, so multi-model files pay one compile per model, not per
+    demo."""
+    import h5py
+
+    mujoco = _import_mujoco()
+
+    renderers: Dict[str, tuple] = {}   # xml digest -> (model, data, rend)
+
+    def ctx_for(xml: str):
+        key = hashlib.sha1(xml.encode()).hexdigest()
+        if key not in renderers:
+            model = mujoco.MjModel.from_xml_string(xml)
+            data = mujoco.MjData(model)
+            rend = mujoco.Renderer(model, image_hw, image_hw)
+            for cam in cameras:
+                if mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_CAMERA,
+                                     cam) < 0:
+                    have = [mujoco.mj_id2name(
+                        model, mujoco.mjtObj.mjOBJ_CAMERA, i)
+                        for i in range(model.ncam)]
+                    raise ValueError(
+                        f"camera {cam!r} not in model (cameras: {have})")
+            return renderers.setdefault(key, (model, data, rend))
+        return renderers[key]
+
+    n_demos = n_frames = 0
+    with h5py.File(src_path, "r") as src, h5py.File(out_path, "w") as out:
+        if "data" not in src:
+            raise ValueError(f"{src_path}: no 'data' group "
+                             "(not a robosuite-layout demo file)")
+        sdata = src["data"]
+        odata = out.create_group("data")
+        for a, v in sdata.attrs.items():
+            odata.attrs[a] = v
+        odata.attrs["rendered_by"] = "rppe_tpu_playback_v1"
+
+        demo_names = sorted(sdata.keys())
+        if max_demos:
+            demo_names = demo_names[:max_demos]
+        for dk in demo_names:
+            g = sdata[dk]
+            if "states" not in g:
+                raise ValueError(f"{src_path}:{dk} has no 'states' "
+                                 "dataset (not a state-playback demo)")
+            xml = model_xml or g.attrs.get(
+                "model_file", sdata.attrs.get("model_file", ""))
+            if not xml:
+                raise ValueError(
+                    f"{src_path}:{dk}: no model_file attribute on the "
+                    "demo or data group; pass model_xml=")
+            if isinstance(xml, bytes):
+                xml = xml.decode()
+            model, mjd, rend = ctx_for(xml)
+            qpos_keep, qvel_keep, bid = _target_dof_mask(
+                mujoco, model, target_body)
+
+            states = np.asarray(g["states"])
+            T = states.shape[0]
+            imgs = {c: np.empty((T, image_hw, image_hw, 3), np.uint8)
+                    for c in cameras}
+            qpos_out = np.empty((T, int(qpos_keep.sum())), np.float32)
+            qvel_out = np.empty((T, int(qvel_keep.sum())), np.float32)
+            obj = np.empty((T, 7), np.float32)
+            for t in range(T):
+                qp, qv = split_state(states[t], model.nq, model.nv)
+                mjd.qpos[:] = qp
+                mjd.qvel[:] = qv
+                mujoco.mj_forward(model, mjd)
+                for c in cameras:
+                    rend.update_scene(mjd, camera=c)
+                    imgs[c][t] = rend.render()
+                qpos_out[t] = qp[qpos_keep]
+                qvel_out[t] = qv[qvel_keep]
+                obj[t, :3] = mjd.xpos[bid]
+                obj[t, 3:] = mjd.xquat[bid]    # (w, x, y, z)
+
+            og = odata.create_group(dk)
+            og.attrs["num_samples"] = T
+            obs = og.create_group("obs")
+            for c in cameras:
+                obs.create_dataset(f"{c}_image", data=imgs[c],
+                                   compression="gzip", compression_opts=1)
+            obs["qpos"] = qpos_out
+            obs["qvel"] = qvel_out
+            obs["object"] = obj
+            n_demos += 1
+            n_frames += T
+
+        # copy robomimic filter masks through so data.filter_key works
+        if "mask" in src:
+            src.copy("mask", out)
+
+    for model, mjd, rend in renderers.values():
+        rend.close()
+    return {"demos": n_demos, "frames": n_frames,
+            "cameras": len(cameras), "image_hw": image_hw}
+
+
+# ---------------------------------------------------------------------------
+# Self-contained states fixture (tests / demos without robosuite assets)
+
+_FIXTURE_XML = """
+<mujoco model="lift_states_fixture">
+  <option gravity="0 0 0"/>
+  <worldbody>
+    <light pos="0 0 3" dir="0 0 -1"/>
+    <geom name="floor" type="plane" size="2 2 .1" rgba=".3 .3 .3 1"/>
+    <body name="arm" pos="0 0 0.3">
+      <joint name="arm_x" type="slide" axis="1 0 0"/>
+      <joint name="arm_y" type="slide" axis="0 1 0"/>
+      <geom type="capsule" fromto="0 0 0 0 0 .2" size=".04" rgba=".2 .4 1 1"/>
+    </body>
+    <body name="cube" pos="0 0 0.5">
+      <freejoint name="cube_joint"/>
+      <geom type="box" size=".06 .06 .06" rgba="1 .2 .1 1"/>
+    </body>
+    <camera name="agentview" pos="1.2 0 0.8" xyaxes="0 1 0 -0.5 0 1"/>
+    <camera name="sideview" pos="0 1.2 0.8" xyaxes="-1 0 0 0 -0.5 1"/>
+  </worldbody>
+</mujoco>
+"""
+
+
+def write_states_fixture(path: str, n_demos: int = 2, steps: int = 12,
+                         seed: int = 0) -> str:
+    """Write a tiny self-contained state-playback demo file in the
+    robosuite layout (states + model_file attr, NO rendered obs): a
+    free-floating cube (the target) plus a 2-dof 'arm' whose joints are
+    the legitimate proprio. Smooth random-walk states, [time, qpos,
+    qvel] flattening (the mujoco-py MjSimState convention)."""
+    import h5py
+
+    rs = np.random.RandomState(seed)
+    nq, nv = 9, 8                      # 2 slides + free joint (7, 6)
+    with h5py.File(path, "w") as f:
+        data = f.create_group("data")
+        data.attrs["env"] = "Lift_states_fixture"
+        data.attrs["model_file"] = _FIXTURE_XML
+        for d in range(n_demos):
+            g = data.create_group(f"demo_{d}")
+            states = np.zeros((steps, 1 + nq + nv), np.float64)
+            arm = rs.uniform(-0.3, 0.3, 2)
+            pos = rs.uniform(-0.25, 0.25, 3) + [0, 0, 0.5]
+            quat = np.array([1.0, 0, 0, 0])
+            for t in range(steps):
+                arm = arm + rs.randn(2) * 0.02
+                pos = pos + rs.randn(3) * 0.015
+                quat = quat + rs.randn(4) * 0.05
+                quat = quat / np.linalg.norm(quat)
+                states[t, 0] = t * 0.05                  # time column
+                states[t, 1:3] = arm                     # arm qpos
+                states[t, 3:6] = pos                     # cube pos
+                states[t, 6:10] = quat                   # cube quat
+                states[t, 10:] = rs.randn(nv) * 0.01     # qvel filler
+            g["states"] = states
+    return path
