@@ -27,3 +27,11 @@ def _run(name: str, *argv: str) -> None:
 ])
 def test_example_runs(name, args):
     _run(name, *args)
+
+
+def test_states_playback_example_runs():
+    from test_playback import _egl_available
+
+    if not _egl_available():
+        pytest.skip("no headless MuJoCo GL (EGL) available")
+    _run("states_playback_workflow.py", "--steps", "30")
