@@ -231,6 +231,13 @@ _FIXTURE_XML = """
     <body name="cube" pos="0 0 0.5">
       <freejoint name="cube_joint"/>
       <geom type="box" size=".06 .06 .06" rgba="1 .2 .1 1"/>
+      <!-- distinct face plates: a uniformly-colored cube is visually
+           rotation-symmetric (orientation unlearnable from pixels --
+           measured: 49 deg rot MAE, i.e. chance); marked +x/+y/+z faces
+           make the rendered orientation observable -->
+      <geom type="box" pos=".06 0 0" size=".004 .035 .035" rgba="0 1 0 1"/>
+      <geom type="box" pos="0 .06 0" size=".035 .004 .035" rgba="0 .3 1 1"/>
+      <geom type="box" pos="0 0 .06" size=".035 .035 .004" rgba="1 1 0 1"/>
     </body>
     <camera name="agentview" pos="1.2 0 0.8" xyaxes="0 1 0 -0.5 0 1"/>
     <camera name="sideview" pos="0 1.2 0.8" xyaxes="-1 0 0 0 -0.5 1"/>

@@ -77,6 +77,11 @@ FIXTURES = {
     # file so the metric measures robustness, not corrupted ground truth
     "outlier": {"label_outlier_frac": 0.2},
     "clean_val": {"seed": 99},
+    # handled specially in fixture_path: a MuJoCo-RENDERED dataset via
+    # the state-playback converter (data/playback.py) -- realistic
+    # shading/perspective instead of drawn markers; certifies the
+    # playback ingestion path at training scale
+    "mjrender": {},
 }
 
 ROWS = {
@@ -171,6 +176,12 @@ ROWS = {
     # clean-train control: the no-corruption floor for the pair above
     "image-only (clean-labels mse)": {
         "_val_fixture": "clean_val", "model.use_proprio": False},
+    # --- state-playback path: ResNet-18 on MuJoCo-rendered frames ------
+    "image+qpos (mujoco-rendered)": {
+        "_fixture": "mjrender",
+        "model.proprio_dim": 4,
+        "data.proprio_key": "obs/qpos,obs/qvel",
+        "data.target_key": "obs/object"},
     # --- pr4: resnet50 @ 224 bf16 held-out MAE -------------------------
     "resnet50-224-bf16 (pr4)": {
         "model.backbone": "resnet50", "model.image_size": 224,
@@ -200,6 +211,20 @@ def main() -> None:
 
     def fixture_path(fname: str) -> str:
         path = os.path.join(args.out, f"demos_{fname}.hdf5")
+        if fname == "mjrender":
+            if not os.path.exists(path):
+                from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+                    render_playback_dataset,
+                    write_states_fixture,
+                )
+
+                src = write_states_fixture(
+                    os.path.join(args.out, "states_mj.hdf5"),
+                    n_demos=args.demos, steps=args.demo_steps, seed=7)
+                render_playback_dataset(src, path, cameras=("agentview",),
+                                        image_hw=args.image_hw,
+                                        target_body="cube")
+            return path
         if not os.path.exists(path):
             kw = dict(FIXTURES[fname])
             kw.setdefault("cameras", ("agentview",))
