@@ -91,6 +91,7 @@ def inspect_dataset(cfg: Config) -> dict:
             data = f["data"]
             demo_names = sorted(data.keys())
             n_steps = 0
+            n_states_only = 0
             for d in demo_names:
                 g = data[d]
                 if "num_samples" in g.attrs:
@@ -98,6 +99,10 @@ def inspect_dataset(cfg: Config) -> dict:
                 elif "obs" in g:
                     first = g["obs"][next(iter(g["obs"].keys()))]
                     n_steps += int(first.shape[0])
+                elif "states" in g:
+                    # robosuite state-playback layout: no rendered obs
+                    n_steps += int(g["states"].shape[0])
+                    n_states_only += 1
             # obs inventory from the FIRST demo (metadata only)
             if demo_names and "obs" in data[demo_names[0]]:
                 obs = data[demo_names[0]]["obs"]
@@ -130,13 +135,20 @@ def inspect_dataset(cfg: Config) -> dict:
             if "mask" in f:
                 for m in sorted(f["mask"].keys()):
                     masks[m] = int(f["mask"][m].shape[0])
-            files.append({
+            row = {
                 "path": p,
                 "demos": len(demo_names),
                 "steps": n_steps,
                 "env": str(data.attrs.get("env", "")),
                 "filter_keys (data.filter_key)": masks,
-            })
+            }
+            if n_states_only:
+                row["states_only_demos"] = n_states_only
+                row["hint"] = ("state-playback layout (no rendered obs): "
+                               "materialize observations with `cli render "
+                               f"--src {p} --out rendered.hdf5 "
+                               "--target-body <body>`")
+            files.append(row)
 
     # config suggestions: low-dim float keys are proprio candidates; the
     # configured target/proprio keys are checked against what exists

@@ -2,8 +2,9 @@
 `states` demos re-rendered through MuJoCo offscreen EGL into the
 robomimic layout the rest of the framework consumes.
 
-Skipped wholesale when headless GL is unavailable (the module needs an
-EGL-capable libGL; this CI image has software mesa)."""
+Rendering tests carry @needs_egl and skip where headless GL is
+unavailable (they need an EGL-capable libGL; this CI image has software
+mesa); the metadata-only inspect test always runs."""
 
 import numpy as np
 import pytest
@@ -27,7 +28,7 @@ def _egl_available() -> bool:
         return False
 
 
-pytestmark = pytest.mark.skipif(
+needs_egl = pytest.mark.skipif(
     not _egl_available(), reason="no headless MuJoCo GL (EGL) available")
 
 
@@ -47,6 +48,7 @@ def rendered(tmp_path_factory):
     return src, out, summary
 
 
+@needs_egl
 def test_converter_layout_and_label_consistency(rendered):
     """The rendered file is robomimic-layout; the object pose equals the
     cube's free-joint state (up to quaternion sign); proprio excludes
@@ -77,6 +79,7 @@ def test_converter_layout_and_label_consistency(rendered):
             assert fo[f"data/{dk}"].attrs["num_samples"] == 14
 
 
+@needs_egl
 def test_rendered_images_track_the_cube(rendered):
     """The render is informative: the cube's red pixels move with its
     position across frames (not a constant splat)."""
@@ -115,6 +118,7 @@ def test_rendered_images_track_the_cube(rendered):
                 fb["data/demo_0/obs/agentview_image"][:])
 
 
+@needs_egl
 def test_rendered_file_feeds_the_standard_pipeline(rendered, tmp_path):
     """The materialized file trains through the UNCHANGED pipeline (C1):
     HDF5DemoStore + HostPipeline + fit with multi-key proprio, and the
@@ -150,6 +154,7 @@ def test_rendered_file_feeds_the_standard_pipeline(rendered, tmp_path):
     assert np.isfinite(m["eval_rot_mae_deg"])
 
 
+@needs_egl
 def test_errors_are_loud(tmp_path):
     from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
         render_playback_dataset,
@@ -169,3 +174,25 @@ def test_errors_are_loud(tmp_path):
                                 target_body="cube")
     with pytest.raises(ValueError, match="state width"):
         split_state(np.zeros(5), nq=9, nv=8)
+
+
+def test_inspect_detects_states_only_files(tmp_path, capsys):
+    """cli inspect on a states-only file counts its steps and points the
+    user at cli render. Metadata + pure-numpy fixture writing only, so
+    this one runs even where EGL rendering is unavailable."""
+    import json
+
+    from rgb_proprioceptive_pose_estimator_tpu.cli import main
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        write_states_fixture,
+    )
+
+    src = write_states_fixture(str(tmp_path / "s.hdf5"), n_demos=2,
+                               steps=9)
+    assert main(["inspect", "--preset", "pr2",
+                 "--set", f"data.path={src}"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    row = rep["files"][0]
+    assert row["states_only_demos"] == 2
+    assert "cli render" in row["hint"]
+    assert rep["steps_total"] == 18
