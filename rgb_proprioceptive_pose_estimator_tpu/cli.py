@@ -195,9 +195,11 @@ def main(argv=None) -> int:
                     help="predict: demo index in data.path")
     ap.add_argument("--t", type=int, default=-1,
                     help="predict: timestep (-1 = all steps of the demo)")
-    ap.add_argument("--out", default="pose.rppe",
-                    help="export: artifact output path; "
-                         "curves: figure path (default curves.png)")
+    ap.add_argument("--out", default="",
+                    help="output path -- export: artifact (default "
+                         "pose.rppe); render: rendered file (default "
+                         "rendered.hdf5); curves: figure (default "
+                         "curves.png)")
     ap.add_argument("--max-batch", type=int, default=8,
                     help="export: compiled batch size of the artifact")
     ap.add_argument("--quantize", default="none", choices=["none", "int8"],
@@ -306,7 +308,7 @@ def main(argv=None) -> int:
 
         if not args.src:
             raise SystemExit("render requires --src (a states demo file)")
-        out_path = args.out if args.out != "pose.rppe" else "rendered.hdf5"
+        out_path = args.out or "rendered.hdf5"
         try:
             summary = render_playback_dataset(
                 args.src, out_path, cameras=tuple(cfg.model.cameras),
@@ -335,7 +337,7 @@ def main(argv=None) -> int:
         if not os.path.exists(src):
             raise SystemExit(f"no metrics file at {src} (train first, or "
                              "pass --metrics)")
-        out_png = args.out if args.out != "pose.rppe" else "curves.png"
+        out_png = args.out or "curves.png"
         try:
             print(json.dumps(plot_metrics(src, out_png)))
         except ValueError as e:
@@ -389,7 +391,7 @@ def main(argv=None) -> int:
             export_predictor,
         )
 
-        path = export_predictor(args.out, cfg,
+        path = export_predictor(args.out or "pose.rppe", cfg,
                                 ckpt_dir=args.ckpt_dir or None,
                                 step=ckpt_step,
                                 max_batch=args.max_batch,

@@ -55,14 +55,20 @@ def _import_mujoco():
 
 def split_state(state: np.ndarray, nq: int, nv: int
                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Split one flattened sim state into (qpos, qvel). Accepts the
-    robosuite/mujoco-py layout [time, qpos, qvel, ...] and the raw
-    [qpos, qvel] concatenation; anything else is a loud error."""
+    """Split one flattened sim state into (qpos, qvel).
+
+    Width exactly nq+nv parses as the raw [qpos, qvel] concatenation;
+    any width >= 1+nq+nv parses as the mujoco-py MjSimState flatten
+    [time, qpos, qvel, act, udd...] (the robosuite collector's format,
+    and the only known producer that appends extra fields -- a
+    hypothetical raw [qpos, qvel, extras] layout is indistinguishable
+    by width and would be parsed as time-prefixed). Anything narrower
+    is a loud error."""
     w = state.shape[-1]
-    if w >= 1 + nq + nv and not w == nq + nv:
-        return state[1:1 + nq], state[1 + nq:1 + nq + nv]
     if w == nq + nv:
         return state[:nq], state[nq:nq + nv]
+    if w >= 1 + nq + nv:
+        return state[1:1 + nq], state[1 + nq:1 + nq + nv]
     raise ValueError(
         f"state width {w} matches neither [time,qpos,qvel,...] "
         f"(>= {1 + nq + nv}) nor [qpos,qvel] ({nq + nv}) for a model "
@@ -115,21 +121,28 @@ def render_playback_dataset(
     robomimic-layout HDF5 to `out_path`. Returns a summary dict.
 
     model_xml overrides the files' `model_file` attrs (for demo files
-    that reference an external model). Renderers are cached per distinct
-    model XML, so multi-model files pay one compile per model, not per
-    demo."""
+    that reference an external model). Renderers (and the target-dof
+    masks) are cached per distinct model XML, so multi-model files pay
+    one compile per model, not per demo. On any error the partial
+    output file is removed -- a truncated dataset must never look like
+    a finished one (downstream callers cache on file existence)."""
     import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        _natural_key,
+    )
 
     mujoco = _import_mujoco()
 
-    renderers: Dict[str, tuple] = {}   # xml digest -> (model, data, rend)
+    # xml digest -> (model, data, rend, qpos_keep, qvel_keep, body_id)
+    renderers: Dict[str, tuple] = {}
 
     def ctx_for(xml: str):
         key = hashlib.sha1(xml.encode()).hexdigest()
         if key not in renderers:
             model = mujoco.MjModel.from_xml_string(xml)
-            data = mujoco.MjData(model)
-            rend = mujoco.Renderer(model, image_hw, image_hw)
+            # validate BEFORE constructing the Renderer: a failed ctx
+            # must not leak an EGL context
             for cam in cameras:
                 if mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_CAMERA,
                                      cam) < 0:
@@ -138,11 +151,17 @@ def render_playback_dataset(
                         for i in range(model.ncam)]
                     raise ValueError(
                         f"camera {cam!r} not in model (cameras: {have})")
-            return renderers.setdefault(key, (model, data, rend))
+            qpos_keep, qvel_keep, bid = _target_dof_mask(
+                mujoco, model, target_body)
+            data = mujoco.MjData(model)
+            rend = mujoco.Renderer(model, image_hw, image_hw)
+            renderers[key] = (model, data, rend, qpos_keep, qvel_keep, bid)
         return renderers[key]
 
     n_demos = n_frames = 0
-    with h5py.File(src_path, "r") as src, h5py.File(out_path, "w") as out:
+    tmp_path = out_path + ".tmp"
+    try:
+      with h5py.File(src_path, "r") as src, h5py.File(tmp_path, "w") as out:
         if "data" not in src:
             raise ValueError(f"{src_path}: no 'data' group "
                              "(not a robosuite-layout demo file)")
@@ -152,7 +171,9 @@ def render_playback_dataset(
             odata.attrs[a] = v
         odata.attrs["rendered_by"] = "rppe_tpu_playback_v1"
 
-        demo_names = sorted(sdata.keys())
+        # natural order (demo_2 before demo_10), matching HDF5DemoStore's
+        # enumeration so max_demos means "the first N demos"
+        demo_names = sorted(sdata.keys(), key=_natural_key)
         if max_demos:
             demo_names = demo_names[:max_demos]
         for dk in demo_names:
@@ -168,9 +189,7 @@ def render_playback_dataset(
                     "demo or data group; pass model_xml=")
             if isinstance(xml, bytes):
                 xml = xml.decode()
-            model, mjd, rend = ctx_for(xml)
-            qpos_keep, qvel_keep, bid = _target_dof_mask(
-                mujoco, model, target_body)
+            model, mjd, rend, qpos_keep, qvel_keep, bid = ctx_for(xml)
 
             states = np.asarray(g["states"])
             T = states.shape[0]
@@ -207,9 +226,17 @@ def render_playback_dataset(
         # copy robomimic filter masks through so data.filter_key works
         if "mask" in src:
             src.copy("mask", out)
-
-    for model, mjd, rend in renderers.values():
-        rend.close()
+      # success: the finished file appears atomically under its real name
+      os.replace(tmp_path, out_path)
+    except BaseException:
+        # a truncated output must never look like a finished dataset
+        # (downstream callers cache on file existence)
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        raise
+    finally:
+        for model, mjd, rend, *_ in renderers.values():
+            rend.close()
     return {"demos": n_demos, "frames": n_frames,
             "cameras": len(cameras), "image_hw": image_hw}
 

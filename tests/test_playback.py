@@ -196,3 +196,42 @@ def test_inspect_detects_states_only_files(tmp_path, capsys):
     assert row["states_only_demos"] == 2
     assert "cli render" in row["hint"]
     assert rep["steps_total"] == 18
+
+
+@needs_egl
+def test_max_demos_natural_order_and_no_partial_output(tmp_path):
+    """max_demos takes the first N demos in NATURAL order (demo_2 before
+    demo_10, matching HDF5DemoStore); a mid-conversion error removes the
+    partial output instead of leaving a truncated dataset that
+    existence-caching callers would silently train on."""
+    import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        render_playback_dataset,
+        write_states_fixture,
+    )
+
+    src = write_states_fixture(str(tmp_path / "s.hdf5"), n_demos=11,
+                               steps=3)
+    out = str(tmp_path / "o.hdf5")
+    render_playback_dataset(src, out, cameras=("agentview",),
+                            image_hw=32, target_body="cube",
+                            max_demos=3)
+    with h5py.File(out) as f:
+        assert sorted(f["data"].keys()) == ["demo_0", "demo_1", "demo_2"]
+
+    # corrupt a later demo: too-narrow states must abort AND clean up
+    bad_src = str(tmp_path / "bad.hdf5")
+    write_states_fixture(bad_src, n_demos=3, steps=3)
+    with h5py.File(bad_src, "r+") as f:
+        states = f["data/demo_1/states"][:]
+        del f["data/demo_1/states"]
+        f["data/demo_1/states"] = states[:, :4]   # < nq+nv: loud error
+    out2 = str(tmp_path / "o2.hdf5")
+    with pytest.raises(ValueError, match="state width"):
+        render_playback_dataset(bad_src, out2, cameras=("agentview",),
+                                image_hw=32, target_body="cube")
+    import os
+
+    assert not os.path.exists(out2)
+    assert not os.path.exists(out2 + ".tmp")
