@@ -302,22 +302,51 @@ def main(argv=None) -> int:
         # obs/qvel, obs/object) that train/eval consume via data.path.
         # Cameras + resolution come from the config (model.cameras,
         # model.image_size).
+        import os
+
+        from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+            expand_paths,
+        )
         from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
             render_playback_dataset,
         )
 
         if not args.src:
-            raise SystemExit("render requires --src (a states demo file)")
-        out_path = args.out or "rendered.hdf5"
+            raise SystemExit("render requires --src (states demo "
+                             "file(s); comma lists and globs accepted)")
         try:
-            summary = render_playback_dataset(
-                args.src, out_path, cameras=tuple(cfg.model.cameras),
-                image_hw=cfg.model.image_size,
-                target_body=args.target_body, max_demos=args.max_demos)
+            srcs = expand_paths(args.src)
+        except FileNotFoundError as e:
+            raise SystemExit(str(e))
+        kw = dict(cameras=tuple(cfg.model.cameras),
+                  image_hw=cfg.model.image_size,
+                  target_body=args.target_body, max_demos=args.max_demos)
+        try:
+            if len(srcs) == 1:
+                out_path = args.out or "rendered.hdf5"
+                summary = render_playback_dataset(srcs[0], out_path, **kw)
+                outs = [out_path]
+            else:
+                # multi-file collection: --out names a DIRECTORY; each
+                # source renders to <dir>/<stem>_rendered.hdf5 and the
+                # outputs train as one dataset via data.path comma list
+                out_dir = args.out or "rendered"
+                os.makedirs(out_dir, exist_ok=True)
+                outs, summary = [], {"demos": 0, "frames": 0}
+                for src in srcs:
+                    stem = os.path.splitext(os.path.basename(src))[0]
+                    dst = os.path.join(out_dir, f"{stem}_rendered.hdf5")
+                    one = render_playback_dataset(src, dst, **kw)
+                    summary["demos"] += one["demos"]
+                    summary["frames"] += one["frames"]
+                    outs.append(dst)
+                summary.update(cameras=len(cfg.model.cameras),
+                               image_hw=cfg.model.image_size,
+                               files=len(srcs))
         except ValueError as e:
             raise SystemExit(str(e))
-        summary["out"] = out_path
-        summary["next"] = (f"train with data.path={out_path} "
+        summary["out"] = outs if len(outs) > 1 else outs[0]
+        summary["next"] = (f"train with data.path={','.join(outs)} "
                            "data.proprio_key=obs/qpos,obs/qvel "
                            "data.target_key=obs/object")
         print(json.dumps(summary))

@@ -6,6 +6,8 @@ Rendering tests carry @needs_egl and skip where headless GL is
 unavailable (they need an EGL-capable libGL; this CI image has software
 mesa); the metadata-only inspect test always runs."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -235,3 +237,41 @@ def test_max_demos_natural_order_and_no_partial_output(tmp_path):
 
     assert not os.path.exists(out2)
     assert not os.path.exists(out2 + ".tmp")
+
+
+@needs_egl
+def test_cli_render_multi_file(tmp_path, capsys):
+    """--src accepts comma lists / globs: each source file renders to
+    <out-dir>/<stem>_rendered.hdf5 and the summary's `next` line carries
+    the comma list data.path trains from."""
+    import json
+
+    from rgb_proprioceptive_pose_estimator_tpu.cli import main
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        write_states_fixture,
+    )
+
+    write_states_fixture(str(tmp_path / "sess_a.hdf5"), n_demos=2, steps=3)
+    write_states_fixture(str(tmp_path / "sess_b.hdf5"), n_demos=1, steps=4,
+                         seed=5)
+    out_dir = str(tmp_path / "rendered")
+    assert main(["render", "--preset", "pr2",
+                 "--src", f"{tmp_path}/sess_*.hdf5",
+                 "--out", out_dir,
+                 "--set", "model.image_size=32",
+                 "--target-body", "cube"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["files"] == 2 and rep["demos"] == 3 and rep["frames"] == 10
+    assert [os.path.basename(p) for p in rep["out"]] == [
+        "sess_a_rendered.hdf5", "sess_b_rendered.hdf5"]
+
+    # the suggested comma list feeds the multi-file dataset reader
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        HDF5DemoStore,
+    )
+
+    store = HDF5DemoStore(",".join(rep["out"]),
+                          proprio_key="obs/qpos,obs/qvel",
+                          target_key="obs/object", cameras=("agentview",),
+                          image_size=32)
+    assert len(store) == 10
