@@ -275,3 +275,33 @@ def test_cli_render_multi_file(tmp_path, capsys):
                           target_key="obs/object", cameras=("agentview",),
                           image_size=32)
     assert len(store) == 10
+
+
+@needs_egl
+def test_model_xml_override_for_files_without_model_attr(tmp_path):
+    """Demo files that reference an external model (no model_file attr)
+    render via the explicit model_xml= argument; without it the error is
+    loud and names the fix."""
+    import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        _FIXTURE_XML,
+        render_playback_dataset,
+        write_states_fixture,
+    )
+
+    src = str(tmp_path / "s.hdf5")
+    write_states_fixture(src, n_demos=1, steps=3)
+    with h5py.File(src, "r+") as f:
+        del f["data"].attrs["model_file"]
+
+    with pytest.raises(ValueError, match="model_xml"):
+        render_playback_dataset(src, str(tmp_path / "o.hdf5"),
+                                cameras=("agentview",), image_hw=32,
+                                target_body="cube")
+
+    out = str(tmp_path / "o.hdf5")
+    s = render_playback_dataset(src, out, cameras=("agentview",),
+                                image_hw=32, target_body="cube",
+                                model_xml=_FIXTURE_XML)
+    assert s["demos"] == 1 and s["frames"] == 3
