@@ -226,6 +226,9 @@ def main(argv=None) -> int:
     ap.add_argument("--target-body", default="cube",
                     help="render: MuJoCo body whose world pose becomes "
                          "obs/object")
+    ap.add_argument("--target-site", default="",
+                    help="render: MuJoCo site as the pose target instead "
+                         "of --target-body (end-effector grip sites)")
     ap.add_argument("--max-demos", type=int, default=0,
                     help="render: cap demos per file (0 = all)")
     ap.add_argument("--metrics", default="", metavar="JSONL",
@@ -320,7 +323,8 @@ def main(argv=None) -> int:
             raise SystemExit(str(e))
         kw = dict(cameras=tuple(cfg.model.cameras),
                   image_hw=cfg.model.image_size,
-                  target_body=args.target_body, max_demos=args.max_demos)
+                  target_body=args.target_body,
+                  target_site=args.target_site, max_demos=args.max_demos)
         try:
             if len(srcs) == 1:
                 out_path = args.out or "rendered.hdf5"

@@ -75,17 +75,11 @@ def split_state(state: np.ndarray, nq: int, nv: int
         f"with nq={nq}, nv={nv}")
 
 
-def _target_dof_mask(mujoco, model, target_body: str
-                     ) -> Tuple[np.ndarray, np.ndarray, int]:
+def _target_dof_mask(mujoco, model, bid: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Boolean keep-masks over (qpos, qvel) excluding every joint that
-    belongs to the target body or its descendants (their state IS the
-    label), plus the target body id."""
-    bid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY, target_body)
-    if bid < 0:
-        names = [mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_BODY, i)
-                 for i in range(model.nbody)]
-        raise ValueError(f"target body {target_body!r} not in model "
-                         f"(bodies: {names})")
+    belongs to body `bid` or its descendants (their state IS the
+    label)."""
     # descendants: body_parentid chains upward
     target_bodies = {bid}
     for b in range(model.nbody):
@@ -105,7 +99,32 @@ def _target_dof_mask(mujoco, model, target_body: str
             t = int(model.jnt_type[j])
             qpos_keep[qa:qa + sizes_q[t]] = False
             qvel_keep[va:va + sizes_v[t]] = False
-    return qpos_keep, qvel_keep, bid
+    return qpos_keep, qvel_keep
+
+
+def _resolve_target(mujoco, model, target_body: str, target_site: str
+                    ) -> Tuple[int, int]:
+    """Resolve the pose target: returns (site_id or -1, body id). A site
+    (e.g. an end-effector grip site -- SURVEY.md section 1.3: the
+    reference estimates "an object or end-effector pose") reads its pose
+    from site_xpos/site_xmat and excludes the dofs of its parent body;
+    a body reads xpos/xquat."""
+    if target_site:
+        sid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_SITE,
+                                target_site)
+        if sid < 0:
+            names = [mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_SITE, i)
+                     for i in range(model.nsite)]
+            raise ValueError(f"target site {target_site!r} not in model "
+                             f"(sites: {names})")
+        return sid, int(model.site_bodyid[sid])
+    bid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY, target_body)
+    if bid < 0:
+        names = [mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_BODY, i)
+                 for i in range(model.nbody)]
+        raise ValueError(f"target body {target_body!r} not in model "
+                         f"(bodies: {names})")
+    return -1, bid
 
 
 def render_playback_dataset(
@@ -116,6 +135,7 @@ def render_playback_dataset(
     target_body: str = "cube",
     model_xml: Optional[str] = None,
     max_demos: int = 0,
+    target_site: str = "",
 ) -> Dict[str, int]:
     """Replay `states` demos from `src_path` and write a rendered
     robomimic-layout HDF5 to `out_path`. Returns a summary dict.
@@ -134,7 +154,7 @@ def render_playback_dataset(
 
     mujoco = _import_mujoco()
 
-    # xml digest -> (model, data, rend, qpos_keep, qvel_keep, body_id)
+    # xml digest -> (model, data, rend, qpos_keep, qvel_keep, sid, bid)
     renderers: Dict[str, tuple] = {}
 
     def ctx_for(xml: str):
@@ -151,11 +171,13 @@ def render_playback_dataset(
                         for i in range(model.ncam)]
                     raise ValueError(
                         f"camera {cam!r} not in model (cameras: {have})")
-            qpos_keep, qvel_keep, bid = _target_dof_mask(
-                mujoco, model, target_body)
+            sid, bid = _resolve_target(mujoco, model, target_body,
+                                       target_site)
+            qpos_keep, qvel_keep = _target_dof_mask(mujoco, model, bid)
             data = mujoco.MjData(model)
             rend = mujoco.Renderer(model, image_hw, image_hw)
-            renderers[key] = (model, data, rend, qpos_keep, qvel_keep, bid)
+            renderers[key] = (model, data, rend, qpos_keep, qvel_keep,
+                              sid, bid)
         return renderers[key]
 
     n_demos = n_frames = 0
@@ -189,7 +211,7 @@ def render_playback_dataset(
                     "demo or data group; pass model_xml=")
             if isinstance(xml, bytes):
                 xml = xml.decode()
-            model, mjd, rend, qpos_keep, qvel_keep, bid = ctx_for(xml)
+            model, mjd, rend, qpos_keep, qvel_keep, sid, bid = ctx_for(xml)
 
             states = np.asarray(g["states"])
             T = states.shape[0]
@@ -208,8 +230,14 @@ def render_playback_dataset(
                     imgs[c][t] = rend.render()
                 qpos_out[t] = qp[qpos_keep]
                 qvel_out[t] = qv[qvel_keep]
-                obj[t, :3] = mjd.xpos[bid]
-                obj[t, 3:] = mjd.xquat[bid]    # (w, x, y, z)
+                if sid >= 0:                   # site target (e.g. eef)
+                    obj[t, :3] = mjd.site_xpos[sid]
+                    q = np.empty(4)
+                    mujoco.mju_mat2Quat(q, mjd.site_xmat[sid])
+                    obj[t, 3:] = q             # (w, x, y, z)
+                else:                          # body target (e.g. object)
+                    obj[t, :3] = mjd.xpos[bid]
+                    obj[t, 3:] = mjd.xquat[bid]
 
             og = odata.create_group(dk)
             og.attrs["num_samples"] = T
@@ -254,6 +282,7 @@ _FIXTURE_XML = """
       <joint name="arm_x" type="slide" axis="1 0 0"/>
       <joint name="arm_y" type="slide" axis="0 1 0"/>
       <geom type="capsule" fromto="0 0 0 0 0 .2" size=".04" rgba=".2 .4 1 1"/>
+      <site name="grip" pos="0 0 .22" size=".005"/>
     </body>
     <body name="cube" pos="0 0 0.5">
       <freejoint name="cube_joint"/>

@@ -305,3 +305,43 @@ def test_model_xml_override_for_files_without_model_attr(tmp_path):
                                 image_hw=32, target_body="cube",
                                 model_xml=_FIXTURE_XML)
     assert s["demos"] == 1 and s["frames"] == 3
+
+
+@needs_egl
+def test_site_target_for_eef_pose(tmp_path):
+    """target_site renders an end-effector-style pose target (SURVEY.md
+    section 1.3: 'object or end-effector pose'): the grip site's world
+    position is the arm body's frame plus the site offset, and the
+    site's parent-body dofs are excluded from proprio."""
+    import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        render_playback_dataset,
+        write_states_fixture,
+    )
+
+    src = write_states_fixture(str(tmp_path / "s.hdf5"), n_demos=1,
+                               steps=6)
+    out = str(tmp_path / "o.hdf5")
+    render_playback_dataset(src, out, cameras=("agentview",),
+                            image_hw=32, target_site="grip")
+    with h5py.File(src) as fs, h5py.File(out) as fo:
+        states = fs["data/demo_0/states"][:]
+        g = fo["data/demo_0/obs"]
+        # arm slides move in x/y; site offset is +0.22 z above the arm
+        # body origin (0, 0, 0.3)
+        np.testing.assert_allclose(g["object"][:, :2], states[:, 1:3],
+                                   atol=1e-6)
+        np.testing.assert_allclose(g["object"][:, 2], 0.52, atol=1e-6)
+        # identity orientation (slide joints cannot rotate the site)
+        np.testing.assert_allclose(np.abs(g["object"][:, 3]), 1.0,
+                                   atol=1e-6)
+        # proprio excludes the ARM joints now (site's parent body), so
+        # only the cube's free joint remains
+        assert g["qpos"].shape == (6, 7)
+        assert g["qvel"].shape == (6, 6)
+
+    with pytest.raises(ValueError, match="site"):
+        render_playback_dataset(src, str(tmp_path / "o2.hdf5"),
+                                cameras=("agentview",), image_hw=32,
+                                target_site="nope")
