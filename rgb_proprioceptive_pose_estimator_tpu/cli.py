@@ -148,6 +148,35 @@ def inspect_dataset(cfg: Config) -> dict:
                                "materialize observations with `cli render "
                                f"--src {p} --out rendered.hdf5 "
                                "--target-body <body>`")
+                # enumerate target candidates from the embedded MJCF
+                # (model load only -- no GL, still metadata-cheap)
+                xml = data[demo_names[0]].attrs.get(
+                    "model_file", data.attrs.get("model_file", ""))
+                if xml:
+                    try:
+                        import mujoco
+
+                        if isinstance(xml, bytes):
+                            xml = xml.decode()
+                        mdl = mujoco.MjModel.from_xml_string(xml)
+                        free = [
+                            mujoco.mj_id2name(
+                                mdl, mujoco.mjtObj.mjOBJ_BODY,
+                                int(mdl.jnt_bodyid[j]))
+                            for j in range(mdl.njnt)
+                            if int(mdl.jnt_type[j]) == 0]  # free joints
+                        row["target_body_candidates (free bodies)"] = free
+                        row["target_site_candidates"] = [
+                            mujoco.mj_id2name(
+                                mdl, mujoco.mjtObj.mjOBJ_SITE, i)
+                            for i in range(mdl.nsite)]
+                        row["cameras_in_model (model.cameras)"] = [
+                            mujoco.mj_id2name(
+                                mdl, mujoco.mjtObj.mjOBJ_CAMERA, i)
+                            for i in range(mdl.ncam)]
+                    except Exception as e:  # asset refs, no mujoco, ...
+                        row["model_file_note"] = (
+                            f"embedded MJCF did not load: {e!r:.120}")
             files.append(row)
 
     # config suggestions: low-dim float keys are proprio candidates; the

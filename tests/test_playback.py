@@ -198,6 +198,12 @@ def test_inspect_detects_states_only_files(tmp_path, capsys):
     assert row["states_only_demos"] == 2
     assert "cli render" in row["hint"]
     assert rep["steps_total"] == 18
+    # target candidates enumerated from the embedded MJCF (model load
+    # only, no GL)
+    assert row["target_body_candidates (free bodies)"] == ["cube"]
+    assert row["target_site_candidates"] == ["grip"]
+    assert row["cameras_in_model (model.cameras)"] == [
+        "agentview", "sideview"]
 
 
 @needs_egl
