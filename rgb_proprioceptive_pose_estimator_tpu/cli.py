@@ -260,6 +260,10 @@ def main(argv=None) -> int:
                          "of --target-body (end-effector grip sites)")
     ap.add_argument("--max-demos", type=int, default=0,
                     help="render: cap demos per file (0 = all)")
+    ap.add_argument("--encode", default="raw",
+                    choices=["raw", "jpeg", "png"],
+                    help="render: image storage (jpeg/png = per-frame "
+                         "vlen bytes, ~10x smaller at 224px)")
     ap.add_argument("--metrics", default="", metavar="JSONL",
                     help="curves: metrics file (default "
                          "<train.ckpt_dir>/metrics.jsonl or "
@@ -353,7 +357,8 @@ def main(argv=None) -> int:
         kw = dict(cameras=tuple(cfg.model.cameras),
                   image_hw=cfg.model.image_size,
                   target_body=args.target_body,
-                  target_site=args.target_site, max_demos=args.max_demos)
+                  target_site=args.target_site, max_demos=args.max_demos,
+                  encoding=args.encode)
         try:
             if len(srcs) == 1:
                 out_path = args.out or "rendered.hdf5"

@@ -136,9 +136,15 @@ def render_playback_dataset(
     model_xml: Optional[str] = None,
     max_demos: int = 0,
     target_site: str = "",
+    encoding: str = "raw",
 ) -> Dict[str, int]:
     """Replay `states` demos from `src_path` and write a rendered
     robomimic-layout HDF5 to `out_path`. Returns a summary dict.
+
+    encoding: "raw" stores (T,H,W,3) uint8 (gzip level 1); "jpeg"/"png"
+    store per-frame encoded bytes in (T,) vlen-uint8 datasets (the
+    robomimic-in-the-wild layout HDF5DemoStore already decodes) --
+    ~10x smaller files for 224px collections at JPEG's usual cost.
 
     model_xml overrides the files' `model_file` attrs (for demo files
     that reference an external model). Renderers (and the target-dof
@@ -148,9 +154,14 @@ def render_playback_dataset(
     a finished one (downstream callers cache on file existence)."""
     import h5py
 
+    from rgb_proprioceptive_pose_estimator_tpu.data import augment as aug
     from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
         _natural_key,
     )
+
+    if encoding not in ("raw", "jpeg", "png"):
+        raise ValueError(
+            f"encoding must be raw/jpeg/png, got {encoding!r}")
 
     mujoco = _import_mujoco()
 
@@ -243,8 +254,17 @@ def render_playback_dataset(
             og.attrs["num_samples"] = T
             obs = og.create_group("obs")
             for c in cameras:
-                obs.create_dataset(f"{c}_image", data=imgs[c],
-                                   compression="gzip", compression_opts=1)
+                if encoding == "raw":
+                    obs.create_dataset(f"{c}_image", data=imgs[c],
+                                       compression="gzip",
+                                       compression_opts=1)
+                else:
+                    ext = ".jpg" if encoding == "jpeg" else ".png"
+                    ds = obs.create_dataset(
+                        f"{c}_image", (T,),
+                        dtype=h5py.vlen_dtype(np.uint8))
+                    for t in range(T):
+                        ds[t] = aug.encode_image(imgs[c][t], ext)
             obs["qpos"] = qpos_out
             obs["qvel"] = qvel_out
             obs["object"] = obj

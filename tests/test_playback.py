@@ -351,3 +351,49 @@ def test_site_target_for_eef_pose(tmp_path):
         render_playback_dataset(src, str(tmp_path / "o2.hdf5"),
                                 cameras=("agentview",), image_hw=32,
                                 target_site="nope")
+
+
+@needs_egl
+def test_jpeg_encoded_render_roundtrips(tmp_path):
+    """encoding='jpeg' writes per-frame vlen bytes the store decodes;
+    pixels match the raw render to JPEG tolerance and the file shrinks."""
+    import os
+
+    import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+        HDF5DemoStore,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        render_playback_dataset,
+        write_states_fixture,
+    )
+
+    src = write_states_fixture(str(tmp_path / "s.hdf5"), n_demos=1,
+                               steps=6)
+    raw = str(tmp_path / "raw.hdf5")
+    jpg = str(tmp_path / "jpg.hdf5")
+    render_playback_dataset(src, raw, cameras=("agentview",),
+                            image_hw=64, target_body="cube")
+    render_playback_dataset(src, jpg, cameras=("agentview",),
+                            image_hw=64, target_body="cube",
+                            encoding="jpeg")
+    with h5py.File(jpg) as f:
+        ds = f["data/demo_0/obs/agentview_image"]
+        assert h5py.check_vlen_dtype(ds.dtype) is not None
+
+    kw = dict(proprio_key="obs/qpos,obs/qvel", target_key="obs/object",
+              cameras=("agentview",), image_size=64)
+    a = HDF5DemoStore(raw, **kw).get_batch(np.arange(6), augment=False,
+                                           seed=0)
+    b = HDF5DemoStore(jpg, **kw).get_batch(np.arange(6), augment=False,
+                                           seed=0)
+    diff = np.abs(a["images"]["agentview"].astype(np.int16)
+                  - b["images"]["agentview"].astype(np.int16))
+    assert diff.mean() < 3.0, diff.mean()     # JPEG tolerance
+    np.testing.assert_allclose(a["target_pos"], b["target_pos"])
+
+    with pytest.raises(ValueError, match="encoding"):
+        render_playback_dataset(src, str(tmp_path / "x.hdf5"),
+                                cameras=("agentview",), image_hw=32,
+                                target_body="cube", encoding="webp")
