@@ -352,27 +352,42 @@ def main(argv=None) -> int:
                              "file(s); comma lists and globs accepted)")
         try:
             srcs = expand_paths(args.src)
-        except FileNotFoundError as e:
-            raise SystemExit(str(e))
+        except (FileNotFoundError, ValueError) as e:
+            # expand_paths speaks in data.path terms; the user typed --src
+            raise SystemExit(str(e).replace("data.path", "--src"))
+        missing = [p for p in srcs if not os.path.isfile(p)]
+        if missing:
+            # catch a typo'd non-glob token BEFORE minutes of rendering
+            raise SystemExit(f"--src file(s) not found: {missing}")
         kw = dict(cameras=tuple(cfg.model.cameras),
                   image_hw=cfg.model.image_size,
                   target_body=args.target_body,
                   target_site=args.target_site, max_demos=args.max_demos,
                   encoding=args.encode)
+        # directory mode whenever there are several sources OR --out
+        # already is / names a directory -- NOT a function of how many
+        # files a glob happened to match this run
+        multi = (len(srcs) > 1 or args.out.endswith(os.sep)
+                 or os.path.isdir(args.out or "rendered.hdf5"))
         try:
-            if len(srcs) == 1:
+            if not multi:
                 out_path = args.out or "rendered.hdf5"
                 summary = render_playback_dataset(srcs[0], out_path, **kw)
                 outs = [out_path]
             else:
-                # multi-file collection: --out names a DIRECTORY; each
-                # source renders to <dir>/<stem>_rendered.hdf5 and the
-                # outputs train as one dataset via data.path comma list
-                out_dir = args.out or "rendered"
+                # each source renders to <dir>/<stem>_rendered.hdf5 and
+                # the outputs train as one dataset via a data.path comma
+                # list; same-stem sources from different directories get
+                # an index suffix rather than overwriting each other
+                out_dir = (args.out or "rendered").rstrip(os.sep)
                 os.makedirs(out_dir, exist_ok=True)
                 outs, summary = [], {"demos": 0, "frames": 0}
-                for src in srcs:
+                used = set()
+                for i, src in enumerate(srcs):
                     stem = os.path.splitext(os.path.basename(src))[0]
+                    if stem in used:
+                        stem = f"{stem}_{i}"
+                    used.add(stem)
                     dst = os.path.join(out_dir, f"{stem}_rendered.hdf5")
                     one = render_playback_dataset(src, dst, **kw)
                     summary["demos"] += one["demos"]

@@ -117,13 +117,23 @@ def _resolve_target(mujoco, model, target_body: str, target_site: str
                      for i in range(model.nsite)]
             raise ValueError(f"target site {target_site!r} not in model "
                              f"(sites: {names})")
-        return sid, int(model.site_bodyid[sid])
+        bid = int(model.site_bodyid[sid])
+        if bid == 0:
+            raise ValueError(
+                f"target site {target_site!r} is attached to the "
+                "worldbody: its pose is constant -- not a learnable "
+                "estimation target (and excluding 'world descendants' "
+                "would strip every dof from proprio)")
+        return sid, bid
     bid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY, target_body)
     if bid < 0:
         names = [mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_BODY, i)
                  for i in range(model.nbody)]
         raise ValueError(f"target body {target_body!r} not in model "
                          f"(bodies: {names})")
+    if bid == 0:
+        raise ValueError("target body is the worldbody: its pose is "
+                         "constant -- not a learnable estimation target")
     return -1, bid
 
 
@@ -162,6 +172,14 @@ def render_playback_dataset(
     if encoding not in ("raw", "jpeg", "png"):
         raise ValueError(
             f"encoding must be raw/jpeg/png, got {encoding!r}")
+    if encoding != "raw":
+        # probe encode up front: discovering a missing opencv AFTER the
+        # first demo rendered (~minutes) would waste all that GL work
+        try:
+            aug.encode_image(np.zeros((2, 2, 3), np.uint8),
+                             ".jpg" if encoding == "jpeg" else ".png")
+        except RuntimeError as e:
+            raise ValueError(f"--encode {encoding} needs opencv: {e}")
 
     mujoco = _import_mujoco()
 
@@ -263,8 +281,8 @@ def render_playback_dataset(
                     ds = obs.create_dataset(
                         f"{c}_image", (T,),
                         dtype=h5py.vlen_dtype(np.uint8))
-                    for t in range(T):
-                        ds[t] = aug.encode_image(imgs[c][t], ext)
+                    ds[...] = [aug.encode_image(imgs[c][t], ext)
+                               for t in range(T)]
             obs["qpos"] = qpos_out
             obs["qvel"] = qvel_out
             obs["object"] = obj

@@ -239,8 +239,6 @@ def test_max_demos_natural_order_and_no_partial_output(tmp_path):
     with pytest.raises(ValueError, match="state width"):
         render_playback_dataset(bad_src, out2, cameras=("agentview",),
                                 image_hw=32, target_body="cube")
-    import os
-
     assert not os.path.exists(out2)
     assert not os.path.exists(out2 + ".tmp")
 
@@ -357,8 +355,6 @@ def test_site_target_for_eef_pose(tmp_path):
 def test_jpeg_encoded_render_roundtrips(tmp_path):
     """encoding='jpeg' writes per-frame vlen bytes the store decodes;
     pixels match the raw render to JPEG tolerance and the file shrinks."""
-    import os
-
     import h5py
 
     from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
@@ -397,3 +393,73 @@ def test_jpeg_encoded_render_roundtrips(tmp_path):
         render_playback_dataset(src, str(tmp_path / "x.hdf5"),
                                 cameras=("agentview",), image_hw=32,
                                 target_body="cube", encoding="webp")
+
+
+@needs_egl
+def test_worldbody_target_and_src_typo_are_loud(tmp_path, capsys):
+    """A worldbody-attached target is constant (not learnable) and the
+    descendant walk would strip every dof -- loud error instead; a
+    typo'd --src token fails before any rendering."""
+    import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.cli import main
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        render_playback_dataset,
+        write_states_fixture,
+    )
+
+    src = write_states_fixture(str(tmp_path / "s.hdf5"), n_demos=1,
+                               steps=3)
+    # put a worldbody site into the embedded MJCF
+    with h5py.File(src, "r+") as f:
+        xml = f["data"].attrs["model_file"]
+        xml = xml.replace("<camera name=\"agentview\"",
+                          "<site name=\"worldmark\" size=\".01\"/>"
+                          "<camera name=\"agentview\"")
+        f["data"].attrs["model_file"] = xml
+    with pytest.raises(ValueError, match="worldbody"):
+        render_playback_dataset(src, str(tmp_path / "o.hdf5"),
+                                cameras=("agentview",), image_hw=32,
+                                target_site="worldmark")
+
+    with pytest.raises(SystemExit, match="not found"):
+        main(["render", "--preset", "pr2",
+              "--src", f"{src},{tmp_path}/typo.hdf5",
+              "--out", str(tmp_path / "d")])
+    capsys.readouterr()
+
+
+@needs_egl
+def test_multi_file_same_stem_no_overwrite(tmp_path, capsys):
+    """Same-named source files in different directories render to
+    distinct outputs instead of silently overwriting each other."""
+    import json
+
+    from rgb_proprioceptive_pose_estimator_tpu.cli import main
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        write_states_fixture,
+    )
+
+    for sub, demos in (("runA", 2), ("runB", 1)):
+        os.makedirs(tmp_path / sub)
+        write_states_fixture(str(tmp_path / sub / "sess.hdf5"),
+                             n_demos=demos, steps=3, seed=demos)
+    out_dir = str(tmp_path / "rendered")
+    assert main(["render", "--preset", "pr2",
+                 "--src", f"{tmp_path}/runA/sess.hdf5,"
+                          f"{tmp_path}/runB/sess.hdf5",
+                 "--out", out_dir,
+                 "--set", "model.image_size=32"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert len(set(rep["out"])) == 2 and rep["demos"] == 3
+    for p in rep["out"]:
+        assert os.path.isfile(p)
+
+    # directory mode is sticky: a later single-source render pointed at
+    # the same --out directory lands INSIDE it, not on top of it
+    assert main(["render", "--preset", "pr2",
+                 "--src", f"{tmp_path}/runA/sess.hdf5",
+                 "--out", out_dir,
+                 "--set", "model.image_size=32"]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert os.path.dirname(rep2["out"]) == out_dir
