@@ -147,6 +147,7 @@ def render_playback_dataset(
     max_demos: int = 0,
     target_site: str = "",
     encoding: str = "raw",
+    isolate: bool = True,
 ) -> Dict[str, int]:
     """Replay `states` demos from `src_path` and write a rendered
     robomimic-layout HDF5 to `out_path`. Returns a summary dict.
@@ -156,12 +157,27 @@ def render_playback_dataset(
     robomimic-in-the-wild layout HDF5DemoStore already decodes) --
     ~10x smaller files for 224px collections at JPEG's usual cost.
 
+    isolate=True (default) runs the GL work in a CHILD python process:
+    software-mesa EGL (llvmpipe) embeds its own LLVM, and hosting it in
+    the same process as XLA:CPU's LLVM was observed to abort later,
+    unrelated XLA compilations on this stack (intermittent SIGABRT mid-
+    fit once enough GL state accumulated). The converter is a batch
+    preprocessing step; one ~1 s process spawn buys a training process
+    that never loads GL. isolate=False renders in-process.
+
     model_xml overrides the files' `model_file` attrs (for demo files
     that reference an external model). Renderers (and the target-dof
     masks) are cached per distinct model XML, so multi-model files pay
     one compile per model, not per demo. On any error the partial
     output file is removed -- a truncated dataset must never look like
     a finished one (downstream callers cache on file existence)."""
+    if isolate and not os.environ.get("_RPPE_RENDER_WORKER"):
+        return _render_in_subprocess(
+            src_path=src_path, out_path=out_path, cameras=list(cameras),
+            image_hw=image_hw, target_body=target_body,
+            model_xml=model_xml, max_demos=max_demos,
+            target_site=target_site, encoding=encoding)
+
     import h5py
 
     from rgb_proprioceptive_pose_estimator_tpu.data import augment as aug
@@ -373,3 +389,40 @@ def write_states_fixture(path: str, n_demos: int = 2, steps: int = 12,
                 states[t, 10:] = rs.randn(nv) * 0.01     # qvel filler
             g["states"] = states
     return path
+
+
+def _render_in_subprocess(**kw) -> Dict[str, int]:
+    """Run render_playback_dataset in a child interpreter (see the
+    isolate= doc). The child reads kwargs as JSON on stdin and prints the
+    summary as the last stdout line; ValueErrors propagate with their
+    message so callers' error handling is process-location-agnostic."""
+    import json
+    import subprocess
+    import sys
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["_RPPE_RENDER_WORKER"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "-m",
+         "rgb_proprioceptive_pose_estimator_tpu.data.playback"],
+        input=json.dumps(kw), capture_output=True, text=True, env=env)
+    if proc.returncode != 0:
+        for line in reversed(proc.stderr.splitlines()):
+            if line.startswith("ValueError: "):
+                raise ValueError(line[len("ValueError: "):])
+        raise RuntimeError(
+            "playback render subprocess failed "
+            f"(exit {proc.returncode}):\n{proc.stderr.strip()[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+if __name__ == "__main__":
+    import json as _json
+    import sys as _sys
+
+    _kw = _json.loads(_sys.stdin.read())
+    _kw["cameras"] = tuple(_kw["cameras"])
+    print(_json.dumps(render_playback_dataset(isolate=False, **_kw)))

@@ -15,17 +15,24 @@ import rgb_proprioceptive_pose_estimator_tpu as rppe
 
 
 def _egl_available() -> bool:
-    try:
-        from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
-            _import_mujoco,
-        )
+    # probe in a CHILD process, like the converter itself renders
+    # (playback.py isolate=True): the pytest process must never host GL
+    # next to XLA (see render_playback_dataset's isolate doc)
+    import subprocess
+    import sys
 
-        mujoco = _import_mujoco()
-        m = mujoco.MjModel.from_xml_string(
-            "<mujoco><worldbody><geom type='sphere' size='.1'/>"
-            "</worldbody></mujoco>")
-        mujoco.Renderer(m, 16, 16).close()
-        return True
+    code = (
+        "import os;"
+        "os.environ.setdefault('MUJOCO_GL','egl');"
+        "os.environ.setdefault('PYOPENGL_PLATFORM','egl');"
+        "import mujoco;"
+        "m=mujoco.MjModel.from_xml_string(\"<mujoco><worldbody>"
+        "<geom type='sphere' size='.1'/></worldbody></mujoco>\");"
+        "mujoco.Renderer(m,16,16).close()")
+    try:
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True,
+                              timeout=180).returncode == 0
     except Exception:
         return False
 
