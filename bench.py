@@ -256,8 +256,13 @@ def main() -> None:
 
     if args.vit:
         try:
+            # 192/chip: the ViT's own batch optimum (r3 sweep: 15.4k at
+            # 192 vs 12.3-13.3k at 128/256/384/512 -- the attention
+            # head-layout copies that dominate this step, docs/ROADMAP.md,
+            # tile worst at larger batches)
             v = bench_config(
-                "pr3", args.image_size, args.dtype, per_chip,
+                "pr3", args.image_size, args.dtype,
+                min(per_chip, 192) if on_tpu else per_chip,
                 steps=max(args.steps // 2, unroll), warmup=args.warmup,
                 use_pallas=False, unroll=unroll, windows=1, tuned=tuned,
                 overrides={"model.backbone": "vit"})
