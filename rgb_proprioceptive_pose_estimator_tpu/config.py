@@ -373,6 +373,15 @@ class TrainConfig:
     # eval metric, e.g. "pos_mae_cm" or "loss". "" = off.
     ckpt_best_metric: str = ""
     resume: str = "auto"           # "auto" | "none" | explicit step
+    # warm start (the pretrain->finetune recipe; torch: load_state_dict()
+    # then train): initialize params + BN/obs stats from another run's
+    # checkpoint directory (its SERVING weights -- the EMA average when the
+    # source trained with ema_decay; pass ".../ckpt" for the latest step or
+    # ".../ckpt/best" for the best-metric checkpoint) while the optimizer,
+    # step counter, LR schedule, and data order start fresh. Model shapes
+    # must match. Ignored when ckpt_dir already holds a checkpoint: a
+    # preempted run resumes its own state rather than re-applying the init.
+    init_from: str = ""
     metrics_path: str = ""         # JSONL metrics file ("" = ckpt_dir/metrics.jsonl)
     tensorboard: bool = False
     debug_nans: bool = False       # jax_debug_nans mode (SURVEY.md section 6.2)

@@ -36,7 +36,10 @@ from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
 )
 from rgb_proprioceptive_pose_estimator_tpu.models.fusion import build_model
 from rgb_proprioceptive_pose_estimator_tpu.parallel import mesh as pmesh
-from rgb_proprioceptive_pose_estimator_tpu.utils.checkpoint import CheckpointManager
+from rgb_proprioceptive_pose_estimator_tpu.utils.checkpoint import (
+    CheckpointManager,
+    restore_variables,
+)
 from rgb_proprioceptive_pose_estimator_tpu.utils.metrics import MetricsLogger
 from rgb_proprioceptive_pose_estimator_tpu.utils.prof import TraceWindow
 
@@ -75,6 +78,60 @@ def upload_image_cache(store, hw: int, sharding,
             "capacity; excludes model/optimizer/activation memory); use "
             "the host pipeline for datasets this size")
     return {cam: jax.device_put(a, sharding) for cam, a in arrs.items()}
+
+
+def _match_tree(name: str, target, loaded):
+    """Validate that `loaded` (saved tree structure, plain dicts) matches
+    `target`'s structure and leaf shapes; return it unflattened into
+    target's treedef with leaves cast to target dtypes. Errors name the
+    offending leaf path so a model-config mismatch is diagnosable."""
+    t_leaves, t_def = jax.tree_util.tree_flatten_with_path(target)
+    l_leaves = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    t_map = {jax.tree_util.keystr(p): leaf for p, leaf in t_leaves}
+    l_map = {jax.tree_util.keystr(p): leaf for p, leaf in l_leaves}
+    if set(t_map) != set(l_map):
+        missing = sorted(set(t_map) - set(l_map))[:4]
+        extra = sorted(set(l_map) - set(t_map))[:4]
+        raise ValueError(
+            f"train.init_from: checkpoint {name} tree does not match the "
+            f"model (missing from checkpoint: {missing}; not in model: "
+            f"{extra}) -- the source run used a different model config")
+    for key in t_map:
+        if tuple(t_map[key].shape) != tuple(l_map[key].shape):
+            raise ValueError(
+                f"train.init_from: {name}{key} shape "
+                f"{tuple(l_map[key].shape)} in the checkpoint vs "
+                f"{tuple(t_map[key].shape)} in the model -- the source run "
+                "used a different model config")
+    ordered = [jnp.asarray(l_map[jax.tree_util.keystr(p)],
+                           dtype=leaf.dtype) for p, leaf in t_leaves]
+    return jax.tree_util.tree_unflatten(t_def, ordered)
+
+
+def warm_start_state(state: TrainState, directory: str) -> TrainState:
+    """train.init_from: start a NEW run from another run's weights.
+
+    Takes the source checkpoint's SERVING weights (the EMA average when the
+    source trained with train.ema_decay, else the raw params) plus its
+    batch_stats -- BN running statistics AND obs-normalization stats, which
+    the loaded params were trained against and are inseparable from --
+    while keeping THIS run's fresh optimizer state, step 0, and RNG. The
+    source's optimizer / freeze / EMA configuration need not match (the
+    restore is template-free); the model tree must.
+    """
+    loaded = restore_variables(directory)
+    src_params = (loaded["ema_params"] if loaded["ema_params"] is not None
+                  else loaded["params"])
+    new_params = _match_tree("params", state.params, src_params)
+    new_stats = _match_tree("batch_stats", state.batch_stats,
+                            loaded["batch_stats"])
+    ema = state.ema_params
+    if ema is not None:
+        # this run's EMA restarts AT the warm-start weights (create_state's
+        # init-at-params semantics; copy so no two donated leaves alias)
+        ema = jax.tree.map(jnp.copy, new_params)
+    return state.replace(params=new_params, batch_stats=new_stats,
+                         ema_params=ema)
 
 
 def evaluate_pipeline(eval_step, state: TrainState, pipeline: HostPipeline,
@@ -129,8 +186,9 @@ def fit(cfg: Config) -> Dict[str, Any]:
         # write train-split obs-normalization stats into the model's
         # batch_stats (the ProprioMLP variables exist from init with
         # identity values). A checkpoint restore below overwrites the whole
-        # state, so resumed runs keep the stats their params were trained
-        # with rather than recomputing from a possibly different dataset.
+        # state -- and a train.init_from warm start overwrites batch_stats
+        # -- so resumed/warm-started runs keep the stats their params were
+        # trained with rather than recomputing from a different dataset.
         mean, std = dataset.proprio_stats()
         bs = dict(state.batch_stats)
         pr = dict(bs["proprio"])
@@ -171,6 +229,12 @@ def fit(cfg: Config) -> Dict[str, Any]:
             "checkpoint")
 
     start_step = 0
+    if tcfg.init_from and ckpt.latest_step() is None:
+        # warm start, only while this run has no checkpoint of its own --
+        # a preempted-and-resumed run keeps its resumed state below rather
+        # than re-applying the init (config.py train.init_from)
+        state = warm_start_state(state, tcfg.init_from)
+        state = jax.device_put(state, rsh)
     if ckpt.latest_step() is not None:
         if tcfg.resume == "none":
             # refuse to interleave a fresh run into an existing history --

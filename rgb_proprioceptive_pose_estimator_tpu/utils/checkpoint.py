@@ -124,3 +124,51 @@ class CheckpointManager:
     def close(self) -> None:
         self.wait()
         self._mngr.close()
+
+
+def restore_variables(directory: str, step: Optional[int] = None
+                      ) -> Dict[str, Any]:
+    """Template-free restore of a checkpoint's model variables.
+
+    Returns {"params", "batch_stats", "ema_params", "step"} with the SAVED
+    tree structure (plain dicts of host arrays). Unlike
+    `CheckpointManager.restore`, no TrainState template is required, so the
+    caller's optimizer / freeze / EMA configuration does not have to match
+    the source run's -- exactly the `train.init_from` warm-start case,
+    where a finetune typically changes both. The caller validates the
+    params tree against its own model (engine/loop.warm_start_state).
+    """
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        # before constructing the manager: orbax would CREATE the missing
+        # directory as a side effect of answering "is there a checkpoint?"
+        raise FileNotFoundError(f"no checkpoint in {directory}")
+    mngr = ocp.CheckpointManager(
+        directory,
+        item_handlers={"state": ocp.StandardCheckpointHandler(),
+                       "data": ocp.JsonCheckpointHandler()})
+    try:
+        if step is None:
+            step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {directory}")
+        # orbax warns that template-free StandardRestore trusts the saved
+        # topology -- intended here (the warm-start caller validates the
+        # tree afterwards), so keep the log signal-only
+        import logging
+
+        absl_logger = logging.getLogger("absl")
+        prev_level = absl_logger.level
+        absl_logger.setLevel(logging.ERROR)
+        try:
+            restored = mngr.restore(step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore()))
+        finally:
+            absl_logger.setLevel(prev_level)
+        s = restored["state"]
+    finally:
+        mngr.close()
+    return {"params": s["params"],
+            "batch_stats": s.get("batch_stats") or {},
+            "ema_params": s.get("ema_params"),
+            "step": int(s.get("step", step))}

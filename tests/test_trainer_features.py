@@ -673,3 +673,111 @@ def test_ema_bn_recal_replaces_final_cadence_save(tmp_path, demo_h5):
         not np.array_equal(a, b)
         for a, b in zip(jax.tree.leaves(jax.device_get(sa.batch_stats)),
                         jax.tree.leaves(jax.device_get(sb.batch_stats))))
+
+
+def test_init_from_warm_start_fit(tmp_path):
+    """train.init_from: a NEW run (different optimizer -> structurally
+    different opt state) starts AT the source run's final weights. lr=0
+    in the finetune makes that exact through the full fit() path, and a
+    rerun in the same ckpt_dir resumes instead of re-applying the init."""
+    src_dir = str(tmp_path / "src")
+    base = rppe.preset("pr1").override(**{
+        "train.steps": 30, "train.eval_every": 0, "train.ckpt_every": 30,
+        "train.log_every": 30, "train.ckpt_dir": src_dir,
+        "data.synthetic_size": 128,
+    })
+    src = rppe.train(base)
+    src_params = jax.device_get(src["state"].params)
+
+    ft_dir = str(tmp_path / "ft")
+    ft_cfg = base.override(**{
+        "train.ckpt_dir": ft_dir, "train.init_from": src_dir,
+        "train.optimizer": "sgd", "train.lr": 0.0,
+        "train.steps": 10, "train.ckpt_every": 10, "train.log_every": 10,
+    })
+    ft = rppe.train(ft_cfg)
+    for a, b in zip(jax.tree.leaves(src_params),
+                    jax.tree.leaves(jax.device_get(ft["state"].params))):
+        np.testing.assert_array_equal(a, b)
+
+    # preempted-run semantics: same ckpt_dir again -> resume wins, the
+    # warm start is NOT re-applied (and the run continues to step 20)
+    ft2 = rppe.train(ft_cfg.override(**{"train.steps": 20}))
+    assert int(jax.device_get(ft2["state"].step)) == 20
+
+
+def test_init_from_takes_serving_weights_fresh_optimizer(tmp_path):
+    """Unit-level warm_start_state: the SOURCE's EMA (serving) weights and
+    batch_stats land in the new state; the new run keeps its own fresh
+    (structurally different: frozen-encoder sgd vs adam) optimizer state,
+    step 0, and an EMA restarted at the warm-start weights."""
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+    from rgb_proprioceptive_pose_estimator_tpu.engine.loop import (
+        warm_start_state,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import create_state
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        frozen_prefixes_for,
+        make_optimizer,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.utils.checkpoint import (
+        CheckpointManager,
+    )
+
+    src_cfg = rppe.preset("pr2").override(**{
+        "model.image_size": 32, "model.image_features": 32,
+        "model.head_hidden": [32], "train.ema_decay": 0.99,
+    })
+    src_state = create_state(src_cfg, make_optimizer(src_cfg.train), seed=0)
+    # make the EMA distinguishable from the raw params
+    src_state = src_state.replace(
+        ema_params=jax.tree.map(lambda x: x * 2.0, src_state.params),
+        step=77)
+    mngr = CheckpointManager(str(tmp_path / "src"), async_save=False)
+    mngr.save(77, src_state)
+    mngr.close()
+
+    ft_cfg = src_cfg.override(**{
+        "model.freeze_backbone": True,
+        "train.optimizer": "sgd", "train.ema_decay": 0.5,
+    })
+    tx = make_optimizer(ft_cfg.train, frozen_prefixes_for(ft_cfg))
+    ft_state = create_state(ft_cfg, tx, seed=1)
+    fresh_opt = ft_state.opt_state
+    warm = warm_start_state(ft_state, str(tmp_path / "src"))
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(src_state.ema_params)),
+                    jax.tree.leaves(jax.device_get(warm.params))):
+        np.testing.assert_array_equal(a, b)          # serving weights
+    for a, b in zip(jax.tree.leaves(jax.device_get(src_state.batch_stats)),
+                    jax.tree.leaves(jax.device_get(warm.batch_stats))):
+        np.testing.assert_array_equal(a, b)          # BN stats come along
+    for a, b in zip(jax.tree.leaves(jax.device_get(warm.params)),
+                    jax.tree.leaves(jax.device_get(warm.ema_params))):
+        np.testing.assert_array_equal(a, b)          # EMA restarts at warm
+    assert int(warm.step) == 0                       # fresh step counter
+    assert (jax.tree_util.tree_structure(warm.opt_state)
+            == jax.tree_util.tree_structure(fresh_opt))
+
+
+def test_init_from_model_mismatch_fails_loudly(tmp_path):
+    src_dir = str(tmp_path / "src")
+    cfg = rppe.preset("pr1").override(**{
+        "train.steps": 10, "train.eval_every": 0, "train.ckpt_every": 10,
+        "train.log_every": 10, "train.ckpt_dir": src_dir,
+        "data.synthetic_size": 64,
+    })
+    rppe.train(cfg)
+    bad = cfg.override(**{
+        "train.ckpt_dir": str(tmp_path / "ft"),
+        "train.init_from": src_dir,
+        "model.proprio_hidden": [48, 48],   # different tree
+    })
+    with pytest.raises(ValueError, match="init_from"):
+        rppe.train(bad)
+    missing = cfg.override(**{
+        "train.ckpt_dir": str(tmp_path / "ft2"),
+        "train.init_from": str(tmp_path / "nope"),
+    })
+    with pytest.raises(FileNotFoundError):
+        rppe.train(missing)
