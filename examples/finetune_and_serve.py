@@ -77,7 +77,10 @@ def main():
     })
     # (With a real torchvision checkpoint: torch.load the state_dict and
     # merge it via utils.torch_import.load_pretrained_backbone before
-    # training -- see tests/test_features.py for the exact call.)
+    # training -- see tests/test_features.py for the exact call. To warm
+    # start from a checkpoint trained by THIS framework instead, set
+    # train.init_from="<that run's ckpt_dir>" -- serving weights + BN
+    # stats load, optimizer/step start fresh.)
     out = rppe.train(cfg)
     print("finetune metrics:", {k: round(float(v), 4)
                                 for k, v in out["metrics"].items()
