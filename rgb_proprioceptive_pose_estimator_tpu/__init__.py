@@ -14,6 +14,8 @@ Public API (BASELINE.json:5 "matching its public train/eval/predict API"):
     pose    = rppe.predict(ckpt, obs)
 """
 
+import os as _os
+
 from rgb_proprioceptive_pose_estimator_tpu.config import (
     Config,
     DataConfig,
@@ -23,7 +25,16 @@ from rgb_proprioceptive_pose_estimator_tpu.config import (
     preset,
     PRESETS,
 )
-from rgb_proprioceptive_pose_estimator_tpu.api import train, evaluate, predict, Predictor
+
+if not _os.environ.get("_RPPE_RENDER_WORKER"):
+    # the isolated GL render child (data/playback._render_in_subprocess)
+    # must NOT import jax: it neither needs the multi-second import nor
+    # may co-host XLA:CPU's LLVM with software-mesa's (the SIGABRT pairing
+    # the isolation exists to prevent). Everything the worker touches
+    # (playback, hdf5_store, augment) is jax-free.
+    from rgb_proprioceptive_pose_estimator_tpu.api import (
+        train, evaluate, predict, Predictor,
+    )
 
 __version__ = "0.1.0"
 

@@ -394,8 +394,14 @@ def write_states_fixture(path: str, n_demos: int = 2, steps: int = 12,
 def _render_in_subprocess(**kw) -> Dict[str, int]:
     """Run render_playback_dataset in a child interpreter (see the
     isolate= doc). The child reads kwargs as JSON on stdin and prints the
-    summary as the last stdout line; ValueErrors propagate with their
-    message so callers' error handling is process-location-agnostic."""
+    summary as the last stdout line. Exceptions relay as a typed JSON
+    record (builtin exception types re-raise as themselves with the full,
+    possibly multi-line message) so callers' error handling is
+    process-location-agnostic. _RPPE_RENDER_WORKER=1 makes the package
+    __init__ skip its jax imports in the child: the GL process must not
+    co-host XLA's LLVM with software-mesa's, and skipping them also cuts
+    the per-child startup to roughly interpreter+mujoco time."""
+    import builtins
     import json
     import subprocess
     import sys
@@ -403,16 +409,27 @@ def _render_in_subprocess(**kw) -> Dict[str, int]:
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     env = dict(os.environ)
-    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    extra = env.get("PYTHONPATH")
+    # no trailing separator when PYTHONPATH is unset: an empty entry means
+    # cwd to CPython, which could shadow real modules in the child
+    env["PYTHONPATH"] = pkg_root + (os.pathsep + extra if extra else "")
     env["_RPPE_RENDER_WORKER"] = "1"
     proc = subprocess.run(
         [sys.executable, "-m",
          "rgb_proprioceptive_pose_estimator_tpu.data.playback"],
         input=json.dumps(kw), capture_output=True, text=True, env=env)
     if proc.returncode != 0:
-        for line in reversed(proc.stderr.splitlines()):
-            if line.startswith("ValueError: "):
-                raise ValueError(line[len("ValueError: "):])
+        err = None
+        try:
+            err = json.loads(
+                proc.stdout.strip().splitlines()[-1]).get("_error")
+        except Exception:
+            pass   # no structured record (hard crash): stderr tail below
+        if err:
+            etype = getattr(builtins, str(err.get("type")), None)
+            if isinstance(etype, type) and issubclass(etype, Exception):
+                raise etype(err.get("message", ""))
+            raise RuntimeError(f"{err.get('type')}: {err.get('message')}")
         raise RuntimeError(
             "playback render subprocess failed "
             f"(exit {proc.returncode}):\n{proc.stderr.strip()[-2000:]}")
@@ -425,4 +442,15 @@ if __name__ == "__main__":
 
     _kw = _json.loads(_sys.stdin.read())
     _kw["cameras"] = tuple(_kw["cameras"])
-    print(_json.dumps(render_playback_dataset(isolate=False, **_kw)))
+    try:
+        _res = render_playback_dataset(isolate=False, **_kw)
+    except Exception as _e:
+        # typed relay to the parent (last stdout line; see
+        # _render_in_subprocess) -- stderr keeps the full traceback
+        import traceback as _tb
+
+        _tb.print_exc()
+        print(_json.dumps({"_error": {"type": type(_e).__name__,
+                                      "message": str(_e)}}))
+        _sys.exit(3)
+    print(_json.dumps(_res))

@@ -223,25 +223,29 @@ def fit(cfg: Config) -> Dict[str, Any]:
         raise ValueError(
             "train.early_stop_patience requires train.eval_every > 0 "
             "(patience counts evaluations)")
-    if tcfg.resume not in ("auto", "none") and ckpt.latest_step() is None:
+    # one enumeration answers all four branches below (each latest_step()
+    # is a directory listing -- slow on remote/NFS ckpt dirs -- and one
+    # read keeps the branches consistent under concurrent writers)
+    latest = ckpt.latest_step()
+    if tcfg.resume not in ("auto", "none") and latest is None:
         raise FileNotFoundError(
             f"train.resume={tcfg.resume!r} but {tcfg.ckpt_dir} contains no "
             "checkpoint")
 
     start_step = 0
-    if tcfg.init_from and ckpt.latest_step() is None:
+    if tcfg.init_from and latest is None:
         # warm start, only while this run has no checkpoint of its own --
         # a preempted-and-resumed run keeps its resumed state below rather
         # than re-applying the init (config.py train.init_from)
         state = warm_start_state(state, tcfg.init_from)
         state = jax.device_put(state, rsh)
-    if ckpt.latest_step() is not None:
+    if latest is not None:
         if tcfg.resume == "none":
             # refuse to interleave a fresh run into an existing history --
             # silent overwrites / duplicate-step crashes are both worse
             raise ValueError(
                 f"train.resume='none' but {tcfg.ckpt_dir} already contains "
-                f"a checkpoint at step {ckpt.latest_step()}; use a fresh "
+                f"a checkpoint at step {latest}; use a fresh "
                 "ckpt_dir or resume='auto'")
         # resume: "auto" = latest; otherwise an explicit step number
         resume_step = None if tcfg.resume == "auto" else int(tcfg.resume)

@@ -25,10 +25,12 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
-import functools
 import json
 import time
 from typing import Any
+
+# perf_probe is a scripts/ sibling
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
 import flax.linen as nn
 import jax
@@ -122,8 +124,7 @@ class BlockBHND(nn.Module):
 def run(variant: str, per_chip: int, steps: int, warmup: int) -> dict:
     from rgb_proprioceptive_pose_estimator_tpu.models import vit as vitmod
 
-    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-    import perf_probe  # scripts/ sibling
+    import perf_probe
 
     orig = vitmod.TransformerBlock
     if variant == "merged":
@@ -150,7 +151,6 @@ def main() -> None:
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--variants", default="flax,merged,bhnd")
     args = p.parse_args()
-    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
     for v in args.variants.split(","):
         t0 = time.time()
         r = run(v.strip(), args.batch, args.steps, args.warmup)

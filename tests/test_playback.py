@@ -21,17 +21,24 @@ def _egl_available() -> bool:
     import subprocess
     import sys
 
+    # reuse the converter's own GL env setup (_import_mujoco) so this
+    # probe can't drift from what render_playback_dataset actually does
     code = (
-        "import os;"
-        "os.environ.setdefault('MUJOCO_GL','egl');"
-        "os.environ.setdefault('PYOPENGL_PLATFORM','egl');"
-        "import mujoco;"
+        "from rgb_proprioceptive_pose_estimator_tpu.data.playback "
+        "import _import_mujoco;"
+        "mujoco=_import_mujoco();"
         "m=mujoco.MjModel.from_xml_string(\"<mujoco><worldbody>"
         "<geom type='sphere' size='.1'/></worldbody></mujoco>\");"
         "mujoco.Renderer(m,16,16).close()")
+    env = dict(os.environ)
+    env["_RPPE_RENDER_WORKER"] = "1"   # jax-free child, like the converter
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(
+        rppe.__file__)))
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = pkg_root + (os.pathsep + prev if prev else "")
     try:
         return subprocess.run([sys.executable, "-c", code],
-                              capture_output=True,
+                              capture_output=True, env=env,
                               timeout=180).returncode == 0
     except Exception:
         return False
