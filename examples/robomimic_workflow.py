@@ -15,7 +15,10 @@ first (docs/MIGRATION.md), all in one run:
   5. early stopping on the held-out metric
      (`train.early_stop_patience`),
   6. per-trajectory evaluation (`evaluate(per_demo=True)`) to find which
-     demos the model fails on.
+     demos the model fails on,
+  7. adapting to a NEW task by warm-starting from the finished run
+     (`train.init_from`: serving weights + BN stats load; optimizer,
+     step, and data order start fresh).
 
 Self-contained (generates two tiny demo files); runs on CPU or TPU.
 
@@ -90,6 +93,27 @@ def main() -> None:
               f"{100 * s['rate']:.0f}% (pos {100 * s['pos_rate']:.0f}% / "
               f"rot {100 * s['rot_rate']:.0f}%)")
     print(f"per-sample predictions: {rows['predictions_path']}")
+
+    # 7. a new task appears: warm-start from the run above instead of
+    #    training from scratch (the torch load_state_dict-then-train
+    #    recipe; docs/MIGRATION.md "warm start")
+    write_demo_fixture(os.path.join(work, "square.hdf5"), n_demos=3,
+                       steps=30, image_hw=84, seed=3)
+    ft = rppe.train(cfg.override(**{
+        "data.path": os.path.join(work, "square.hdf5"),
+        "data.filter_key": "",
+        "data.max_demos": 0,
+        "train.init_from": os.path.join(work, "ckpt"),
+        "train.ckpt_dir": os.path.join(work, "ckpt_ft"),
+        "train.steps": max(args.steps // 3, 10),
+        "train.log_every": 10,
+        "train.eval_every": 0,
+        "train.eval_steps": 16,
+        "train.early_stop_patience": 0,
+    }))
+    print(f"warm-started finetune on the new task: final loss "
+          f"{float(ft['metrics']['loss']):.4f} at step "
+          f"{int(ft['state'].step)}")
 
 
 if __name__ == "__main__":
