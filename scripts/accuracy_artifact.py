@@ -125,6 +125,10 @@ ROWS = {
     # SO(3), so the quat head's antipodal double cover is exercised)
     "image-only (rot6d)": {"model.use_proprio": False,
                            "model.rot_rep": "rot6d"},
+    # rot6d in the flagship FUSION config (correlated noisy-pose proprio):
+    # guards the image-only win against an interaction regression
+    "image+noisy-pose-proprio (rot6d)": {
+        "_fixture": "noisy", "model.rot_rep": "rot6d"},
     # --- pr5: dual camera must help on per-camera-occluded data --------
     "single-cam (occluded)": {"_fixture": "occl",
                               "model.use_proprio": False},
