@@ -78,7 +78,8 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
              per_demo: bool = False,
              percentiles: bool = False,
              success_at: Sequence[Tuple[float, float]] = (),
-             dump_predictions: str = "") -> Dict[str, Any]:
+             dump_predictions: str = "",
+             drop_cameras: Sequence[str] = ()) -> Dict[str, Any]:
     """Restore a checkpoint and report metrics (pos MAE cm / rot MAE deg,
     BASELINE.json:2) over the eval transform pipeline (no augmentation).
 
@@ -112,7 +113,11 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     npz for offline analysis (pred/target pos+quat, pos_err_cm,
     rot_err_deg; plus demo_idx/t and demo_keys for hdf5 sources) and adds
     "predictions_path" to the report -- the raw material for failure
-    triage beyond what per_demo/percentiles aggregate."""
+    triage beyond what per_demo/percentiles aggregate.
+
+    drop_cameras: camera names scored as DEAD (their features zeroed via
+    a camera_mask, NOT fed zero pixels) -- measures how the model holds
+    up when a sensor fails, the case model.camera_dropout trains for."""
     if data_path is not None:
         cfg = cfg.override(**{"data.path": data_path,
                               "data.source": "hdf5",
@@ -123,6 +128,19 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     if per_demo and cfg.data.source != "hdf5":
         raise ValueError("evaluate(per_demo=True) requires an hdf5 "
                          "data source (demos are HDF5 trajectories)")
+    drop_cameras = tuple(drop_cameras)
+    unknown = [c for c in drop_cameras if c not in cfg.model.cameras]
+    if unknown:
+        raise ValueError(
+            f"evaluate(drop_cameras={unknown}) names cameras not in "
+            f"model.cameras={list(cfg.model.cameras)}")
+    if drop_cameras and len(drop_cameras) >= len(cfg.model.cameras) \
+            and not cfg.model.use_proprio:
+        raise ValueError(
+            "evaluate(drop_cameras=...) would drop every input: the model "
+            "has no proprio branch and all its cameras are listed")
+    drop_idx = tuple(i for i, c in enumerate(cfg.model.cameras)
+                     if c in drop_cameras)
     has_val = cfg.data.val_fraction > 0 or bool(cfg.data.val_path)
     if split == "auto":
         split = "val" if has_val else "all"
@@ -159,7 +177,7 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
 
         eval_cache = upload_image_cache(dataset, cfg.model.image_size,
                                         pmesh.replicated_sharding(mesh))
-    eval_step = make_eval_step(model, cfg.train)
+    eval_step = make_eval_step(model, cfg.train, drop_camera_idx=drop_idx)
     out = evaluate_pipeline(eval_step, state, pipe, max_batches=max_batches,
                             image_cache=eval_cache)
     out["step"] = got_step
@@ -195,6 +213,10 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
             batch = dataset.get_batch(idx, augment=False, seed=0)
             tpos = batch.pop("target_pos")
             tquat = batch.pop("target_quat")
+            for cam in drop_cameras:
+                # Predictor substitutes the dead-camera mask (same
+                # semantics as the sharded metric pass above)
+                batch["images"].pop(cam)
             pos, quat = pred(batch)
             pe, re_ = pose_errors(pos, quat, tpos, tquat)
             pos_err[idx] = np.asarray(pe)
@@ -263,6 +285,13 @@ class Predictor:
     Returns float32 numpy (pos, quat) with the batch dim matching the input
     (squeezed for unbatched input). Inputs are padded to a fixed batch size
     so repeated calls never recompile (SURVEY.md section 4.3).
+
+    A configured camera MAY be omitted from obs (sensor died): its
+    features are zeroed via a camera_mask -- meaningful when the model
+    trained with model.camera_dropout > 0, otherwise out-of-distribution.
+    The masked call compiles once as its own shape; a stack alternating
+    between full and dead-camera obs holds two compiled signatures, not a
+    growing cache.
     """
 
     def __init__(self, cfg: Config, ckpt_dir: Optional[str] = None,
@@ -278,14 +307,19 @@ class Predictor:
 
     def _batched(self, obs: Dict[str, Any]) -> Tuple[Dict[str, Any], int, bool]:
         m = self.cfg.model
+        present = [c for c in m.cameras if c in obs.get("images", {})]
+        missing = [c for c in m.cameras if c not in present]
+        if m.backbone != "none" and not present and not m.use_proprio:
+            raise ValueError(
+                f"obs supplies none of the model's cameras "
+                f"{list(m.cameras)} and the model has no proprio branch")
         # infer whether input is unbatched from proprio/image rank
         if m.use_proprio:
             p = np.asarray(obs["proprio"], dtype=np.float32)
             expected = 1 if m.temporal_frames == 1 else 2
             unbatched = p.ndim == expected
         else:
-            cam = m.cameras[0]
-            img = np.asarray(obs["images"][cam])
+            img = np.asarray(obs["images"][present[0]])
             expected = 3 if m.temporal_frames == 1 else 4
             unbatched = img.ndim == expected
 
@@ -294,12 +328,29 @@ class Predictor:
             return x[None] if unbatched else x
 
         batch: Dict[str, Any] = {}
-        if m.backbone != "none":
-            batch["images"] = {c: prep(obs["images"][c]) for c in m.cameras}
-            n = next(iter(batch["images"].values())).shape[0]
+        n = 0
         if m.use_proprio:
             batch["proprio"] = prep(obs["proprio"]).astype(np.float32)
             n = batch["proprio"].shape[0]
+        if m.backbone != "none":
+            imgs = {c: prep(obs["images"][c]) for c in present}
+            if present:
+                n = next(iter(imgs.values())).shape[0]
+            if missing:
+                # dead/omitted camera: zero-pixel placeholder keeps the
+                # compiled input structure; a zero camera_mask column
+                # zeroes its FEATURES (models/fusion.py) -- the
+                # representation model.camera_dropout trains the head for
+                t = (m.temporal_frames,) if m.temporal_frames > 1 else ()
+                hw = (m.image_size, m.image_size, 3)
+                for c in missing:
+                    imgs[c] = np.zeros((n, *t, *hw), np.uint8)
+                mask = np.ones((n, len(m.cameras)), np.float32)
+                for i, c in enumerate(m.cameras):
+                    if c in missing:
+                        mask[:, i] = 0.0
+                batch["camera_mask"] = mask
+            batch["images"] = imgs
 
         # pad to a multiple of the compiled batch size (no recompiles for
         # any n <= max_batch; larger batches compile once per padded size)

@@ -242,6 +242,11 @@ def main(argv=None) -> int:
     ap.add_argument("--success-at", default="", metavar="CM:DEG[,CM:DEG...]",
                     help="eval: success-rate thresholds, e.g. '2:10,5:30' = "
                          "fraction of samples within 2cm&10deg / 5cm&30deg")
+    ap.add_argument("--drop-camera", action="append", default=[],
+                    metavar="CAM",
+                    help="eval: score this camera as dead (features "
+                         "zeroed; repeatable) -- the sensor-failure case "
+                         "model.camera_dropout trains for")
     ap.add_argument("--plot", default="", metavar="PNG",
                     help="predict: also write a predicted-vs-target "
                          "trajectory figure (whole-demo mode only)")
@@ -460,7 +465,8 @@ def main(argv=None) -> int:
                           step=ckpt_step, per_demo=args.per_demo,
                           percentiles=args.percentiles,
                           success_at=success_at,
-                          dump_predictions=args.dump_predictions)
+                          dump_predictions=args.dump_predictions,
+                          drop_cameras=tuple(args.drop_camera))
         print(json.dumps(m, indent=2))
         return 0
 

@@ -48,6 +48,15 @@ class ModelConfig:
     # no extra plumbing. Off by default (raw-state parity with the
     # reference's plain MLP branch, BASELINE.json:5).
     proprio_normalize: bool = False
+    # per-sample probability of dropping each camera's ENTIRE feature
+    # vector during training (modality dropout, no rescale): the head
+    # learns the all-zero representation a dead/omitted camera presents
+    # at inference, so a robot stack losing a sensor degrades gracefully
+    # instead of feeding the model out-of-distribution garbage. Serve the
+    # failure case by omitting the camera from Predictor obs (a zero
+    # camera_mask column rides in the batch) or `evaluate(drop_cameras=)`.
+    # Requires a second input source (another camera or proprio).
+    camera_dropout: float = 0.0
     image_features: int = 512      # image embedding width (per camera)
     head_hidden: Tuple[int, ...] = (512, 256)
     # rotation parameterization of the head's raw output. "quat": 4 values,
@@ -123,6 +132,21 @@ class ModelConfig:
         _check_enum("model.temporal_mode", self.temporal_mode,
                     ("channel", "lstm"))
         _check_enum("model.rot_rep", self.rot_rep, ("quat", "rot6d"))
+        if not 0.0 <= self.camera_dropout < 1.0:
+            raise ValueError(
+                f"model.camera_dropout={self.camera_dropout} must be in "
+                "[0, 1)")
+        if self.camera_dropout > 0:
+            if self.backbone == "none":
+                raise ValueError(
+                    "model.camera_dropout needs an image path "
+                    "(model.backbone is 'none')")
+            if len(self.cameras) + int(self.use_proprio) < 2:
+                raise ValueError(
+                    "model.camera_dropout needs a second input source "
+                    "(another camera or use_proprio=True): dropping the "
+                    "only input would leave those samples nothing to "
+                    "predict from")
         if self.backbone == "vit":
             _check_enum("model.vit_pool", self.vit_pool, ("mean", "cls"))
             if self.image_size % self.vit_patch:

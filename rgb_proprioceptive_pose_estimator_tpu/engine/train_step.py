@@ -13,7 +13,7 @@ shapes (the pipeline drops/pads partial batches) and donated state buffers.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -377,16 +377,30 @@ def recalibrate_batch_stats(recal_step, state: TrainState, pipeline,
     return cum if cum is not None else bs0
 
 
-def make_eval_step(model, cfg: TrainConfig) -> Callable:
+def make_eval_step(model, cfg: TrainConfig,
+                   drop_camera_idx: Sequence[int] = ()) -> Callable:
     """Jitted eval step: frozen BN running stats, no augmentation
     (SURVEY.md section 4.2); returns loss components + cm/deg MAE.
     Signature (state, batch, image_cache=None) -- see make_train_step on
-    why the device cache is an argument, not a capture."""
+    why the device cache is an argument, not a capture.
+
+    drop_camera_idx (static): camera indices scored as DEAD -- a zero
+    camera_mask column zeroes their features (models/fusion.py), the
+    sensor-failure case cfg.model.camera_dropout trains for. Used by
+    api.evaluate(drop_cameras=...)."""
+    n_cams = len(model.cfg.cameras)
 
     def step(state: TrainState, batch, image_cache=None
              ) -> Dict[str, jax.Array]:
         if image_cache is not None and "image_idx" in batch:
             batch = gather_cached_images(image_cache, batch)
+        if drop_camera_idx:
+            b = batch["target_pos"].shape[0]
+            mask = jnp.ones((b, n_cams), jnp.float32)
+            mask = mask.at[:, list(drop_camera_idx)].set(0.0)
+            existing = batch.get("camera_mask")
+            batch = dict(batch, camera_mask=(
+                mask if existing is None else existing * mask))
         # eval_variables: EMA weights when train.ema_decay is on
         pos, quat = model.apply(state.eval_variables(), batch, train=False)
         _, aux = pose_loss(

@@ -7,6 +7,9 @@ Input batch dict convention (produced by `data/`):
     batch["proprio"]        : float32 (B, D) or (B, T, D)
     batch["target_pos"]     : float32 (B, 3)      [training/eval only]
     batch["target_quat"]    : float32 (B, 4)      [training/eval only]
+    batch["camera_mask"]    : float32 (B, n_cameras), optional; 0 = that
+                              camera is dead (its features zero out --
+                              see config.py model.camera_dropout)
 
 Output: (pos (B, 3) float32, quat (B, 4) float32 unit-normalized).
 
@@ -94,8 +97,38 @@ class PoseEstimator(nn.Module):
         if cfg.backbone != "none":
             images = batch["images"]
             lstm = cfg.temporal_frames > 1 and cfg.temporal_mode == "lstm"
+            # optional (B, n_cameras) mask, 0 = camera dead: a dead
+            # camera's features zero out, the representation the head was
+            # trained for under cfg.camera_dropout (config.py). Absent
+            # mask = all cameras live (the common path adds no work).
+            cam_mask = batch.get("camera_mask")
+            if train and cfg.camera_dropout > 0:
+                # modality dropout, NO 1/(1-p) rescale (ModDrop-style):
+                # inference with a dead camera presents exactly the
+                # zeroed features training sampled here. Reuses the
+                # "dropout" rng the train step always provides.
+                b = next(iter(images.values())).shape[0]
+                n_cam = len(cfg.cameras)
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - cfg.camera_dropout,
+                    (b, n_cam)).astype(jnp.float32)
+                if not cfg.use_proprio:
+                    # independent drops can kill EVERY camera of a sample
+                    # (p^n per sample); without a proprio branch that
+                    # sample carries zero information and its raw head
+                    # output is exactly 0. Force one uniformly-chosen
+                    # camera back on for such rows. (With proprio, the
+                    # all-cameras-dead sample is a VALID training case.)
+                    forced = jax.nn.one_hot(
+                        jax.random.randint(self.make_rng("dropout"),
+                                           (b,), 0, n_cam),
+                        n_cam, dtype=jnp.float32)
+                    dead = (jnp.sum(keep, axis=-1, keepdims=True)
+                            == 0).astype(jnp.float32)
+                    keep = keep + dead * forced
+                cam_mask = keep if cam_mask is None else cam_mask * keep
             # one encoder per camera (C10, BASELINE.json:11)
-            for cam in cfg.cameras:
+            for ci, cam in enumerate(cfg.cameras):
                 img = images[cam]
                 if lstm:
                     # temporally-dependent variant (SURVEY.md 1.3): encode
@@ -112,13 +145,16 @@ class PoseEstimator(nn.Module):
                             cfg.image_features, dtype=dtype,
                             param_dtype=jnp.float32,
                             name=f"lstm_{cam}"))(f)
-                    feats.append(f[:, -1])
+                    f = f[:, -1]
                 else:
                     x = _stack_temporal(img)
                     x = normalize_images(x, cfg.image_mean, cfg.image_std,
                                          dtype=dtype,
                                          use_pallas=cfg.use_pallas)
-                    feats.append(self._encoder(f"encoder_{cam}")(x, train))
+                    f = self._encoder(f"encoder_{cam}")(x, train)
+                if cam_mask is not None:
+                    f = f * cam_mask[:, ci:ci + 1].astype(f.dtype)
+                feats.append(f)
 
         if cfg.use_proprio:
             pf = ProprioMLP(hidden=cfg.proprio_hidden,

@@ -18,9 +18,18 @@ _ACOS_CLIP = 1.0 - 1e-6
 
 
 def quat_normalize(q: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Normalize to a unit quaternion; safe at q == 0."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(norm, eps)
+    """Normalize to a unit quaternion; value- AND gradient-safe at q == 0.
+
+    The soft norm sqrt(|q|^2 + eps^2) instead of max(|q|, eps): the max
+    form's VALUE is fine at 0 but its gradient is NaN there (the |q|
+    branch differentiates to q/|q| = 0/0, and the chain rule leaks the
+    NaN through the untaken branch -- hit for real when
+    model.camera_dropout zeroes every feature of a sample and the raw
+    head output is exactly 0). eps^2 = 1e-16 is below f32 resolution for
+    any non-degenerate |q|, so values are bitwise-unchanged away from 0;
+    at 0 the gradient is a finite 1/eps."""
+    sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    return q / jnp.sqrt(sq + eps * eps)
 
 
 def quat_conjugate(q: jax.Array) -> jax.Array:

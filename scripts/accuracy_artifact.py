@@ -134,7 +134,20 @@ ROWS = {
                               "model.use_proprio": False},
     "dual-cam (occluded)": {
         "_fixture": "occl", "model.use_proprio": False,
-        "model.cameras": ("agentview", "robot0_eye_in_hand")},
+        "model.cameras": ("agentview", "robot0_eye_in_hand"),
+        "_eval_drop": ("agentview", "robot0_eye_in_hand")},
+    # --- model.camera_dropout: sensor-failure robustness ----------------
+    # same data/arch as dual-cam (occluded) plus train-time modality
+    # dropout; the "_eval_drop" evals score each camera DEAD
+    # (evaluate(drop_cameras=...)) -- without the dropout training the
+    # zeroed-features input is out-of-distribution and should collapse,
+    # with it the model should degrade toward the single-cam floor
+    # (name avoids a comma: --rows splits on commas)
+    "dual-cam (occluded cam-dropout)": {
+        "_fixture": "occl", "model.use_proprio": False,
+        "model.cameras": ("agentview", "robot0_eye_in_hand"),
+        "model.camera_dropout": 0.15,
+        "_eval_drop": ("agentview", "robot0_eye_in_hand")},
     # --- pr5: temporal stacking must help on velocity-labeled data -----
     # (augment off: inter-frame marker displacement IS the signal; a
     # per-frame random crop would corrupt it)
@@ -250,6 +263,7 @@ def main() -> None:
         over = dict(over)
         row_fixture = fixture_path(over.pop("_fixture", "plain"))
         val_fixture = over.pop("_val_fixture", "")
+        eval_drop = over.pop("_eval_drop", ())
         if val_fixture:
             # separate clean held-out file replaces fraction splitting
             over.setdefault("data.val_path", fixture_path(val_fixture))
@@ -291,6 +305,18 @@ def main() -> None:
                          "held_out_demos": (args.demos if val_fixture
                                             else int(args.demos * 0.2))}
         print(json.dumps({name: results[name]}), flush=True)
+        for dc in eval_drop:
+            # score the best checkpoint with one camera DEAD (features
+            # zeroed via camera_mask -- the model.camera_dropout case)
+            r = evaluate(cfg.override(**{
+                "train.ckpt_dir": f"{ckpt_dir}/best"}), split="val",
+                drop_cameras=(dc,))
+            key = f"{name} [dead {dc}]"
+            results[key] = {"pos_mae_cm": round(r["pos_mae_cm"], 2),
+                            "rot_mae_deg": round(r["rot_mae_deg"], 2),
+                            "steps": args.steps,
+                            "held_out_demos": int(args.demos * 0.2)}
+            print(json.dumps({key: results[key]}), flush=True)
         with open(results_path, "w") as f:
             json.dump(results, f, indent=2)
 

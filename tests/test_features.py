@@ -207,3 +207,60 @@ def test_lstm_learns_velocity_task(tmp_path):
     # temporal function must get far below that
     assert m["pos_loss"] < 0.02, m
     assert m["eval_pos_mae_cm"] < 10.0, m
+
+
+def test_camera_dropout_end_to_end(tmp_path, demo_h5):
+    """model.camera_dropout trains; evaluate(drop_cameras=) scores the
+    dead-sensor case; Predictor with the camera OMITTED from obs matches
+    the explicit camera_mask forward exactly."""
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+
+    cfg = rppe.preset("pr2").override(**{
+        "model.image_size": 32, "model.image_features": 32,
+        "model.head_hidden": [32],
+        "model.cameras": ("agentview", "robot0_eye_in_hand"),
+        "model.camera_dropout": 0.3,
+        "data.path": demo_h5, "data.batch_size": 8,
+        "data.num_workers": 0,
+        "train.steps": 6, "train.log_every": 3, "train.eval_every": 0,
+        "train.ckpt_every": 6, "train.ckpt_dir": str(tmp_path / "cd"),
+    })
+    rppe.train(cfg)
+
+    full = rppe.evaluate(cfg, max_batches=2)
+    dead = rppe.evaluate(cfg, max_batches=2, drop_cameras=("agentview",))
+    assert np.isfinite(dead["pos_mae_cm"])
+    assert dead["pos_mae_cm"] != full["pos_mae_cm"]
+    with pytest.raises(ValueError, match="not in"):
+        rppe.evaluate(cfg, drop_cameras=("bogus",))
+    with pytest.raises(ValueError, match="every input"):
+        rppe.evaluate(cfg, drop_cameras=cfg.model.cameras)
+
+    ds = build_dataset(cfg, split="all")
+    batch = ds.get_batch(np.arange(4), augment=False, seed=0)
+    batch.pop("target_pos")
+    batch.pop("target_quat")
+    pred = rppe.Predictor(cfg, max_batch=4)
+    pos_full, _ = pred(batch)
+    obs_dead = {
+        "images": {
+            "robot0_eye_in_hand": batch["images"]["robot0_eye_in_hand"]},
+    }   # pr2 is RGB-only: no proprio key
+    pos_dead, quat_dead = pred(obs_dead)
+    assert pos_dead.shape == (4, 3)
+    assert not np.allclose(pos_full, pos_dead)
+
+    # exact parity with the explicit-mask forward (zero placeholder image
+    # + zero mask column == what Predictor substitutes)
+    mask = np.ones((4, 2), np.float32)
+    mask[:, 0] = 0.0
+    ref_batch = {
+        "images": {
+            "agentview": np.zeros_like(batch["images"]["agentview"]),
+            "robot0_eye_in_hand": batch["images"]["robot0_eye_in_hand"],
+        },
+        "camera_mask": mask,
+    }
+    ref_pos, ref_quat = pred._fn(pred.state.eval_variables(), ref_batch)
+    np.testing.assert_allclose(pos_dead, np.asarray(ref_pos), atol=1e-6)
+    np.testing.assert_allclose(quat_dead, np.asarray(ref_quat), atol=1e-6)

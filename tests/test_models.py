@@ -288,3 +288,76 @@ def test_rot6d_head_outputs_unit_quat():
 def test_rot_rep_validation():
     with pytest.raises(ValueError, match="rot_rep"):
         ModelConfig(rot_rep="euler")
+
+
+def test_camera_mask_zeroes_camera_features():
+    """batch['camera_mask']: a zero column makes the output INDEPENDENT of
+    that camera's pixels (its features zero out at the fusion point); an
+    all-ones mask is the identity; no mask == all-ones."""
+    cfg = ModelConfig(backbone="cnn_small", image_size=32,
+                      cameras=("agentview", "robot0_eye_in_hand"),
+                      use_proprio=False, image_features=32,
+                      head_hidden=(32,))
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    pos0, _ = model.apply(variables, batch, train=False)
+    ones = np.ones((2, 2), np.float32)
+    pos1, _ = model.apply(variables, {**batch, "camera_mask": ones},
+                          train=False)
+    np.testing.assert_array_equal(np.asarray(pos0), np.asarray(pos1))
+
+    mask = ones.copy()
+    mask[:, 0] = 0.0   # agentview dead
+    pa, _ = model.apply(variables, {**batch, "camera_mask": mask},
+                        train=False)
+    scrambled = dict(batch)
+    scrambled["images"] = dict(batch["images"])
+    scrambled["images"]["agentview"] = 255 - batch["images"]["agentview"]
+    pb, _ = model.apply(variables, {**scrambled, "camera_mask": mask},
+                        train=False)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    # the same scramble with the camera live DOES change the output
+    pc, _ = model.apply(variables, scrambled, train=False)
+    assert not np.array_equal(np.asarray(pa), np.asarray(pc))
+
+
+def test_camera_dropout_validation():
+    with pytest.raises(ValueError, match="camera_dropout"):
+        ModelConfig(camera_dropout=1.5)
+    with pytest.raises(ValueError, match="second input"):
+        ModelConfig(backbone="cnn_small", cameras=("agentview",),
+                    use_proprio=False, camera_dropout=0.2)
+    with pytest.raises(ValueError, match="image path"):
+        ModelConfig(backbone="none", cameras=(), use_proprio=True,
+                    camera_dropout=0.2)
+    # two cameras without proprio is a valid dropout configuration
+    ModelConfig(backbone="cnn_small", cameras=("a", "b"),
+                use_proprio=False, camera_dropout=0.2)
+
+
+def test_camera_dropout_train_mode_only():
+    """camera_dropout samples per-sample camera masks in train mode (the
+    'dropout' rng the train step always provides); eval mode is untouched."""
+    import dataclasses
+
+    cfg = ModelConfig(backbone="cnn_small", image_size=32,
+                      cameras=("agentview", "robot0_eye_in_hand"),
+                      use_proprio=True, proprio_dim=8, image_features=32,
+                      head_hidden=(32,), camera_dropout=0.5)
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=8)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    (p_drop, _), _ = model.apply(variables, batch, train=True,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.PRNGKey(3)})
+    m0 = build_model(dataclasses.replace(cfg, camera_dropout=0.0))
+    (p_full, _), _ = m0.apply(variables, batch, train=True,
+                              mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.PRNGKey(3)})
+    # p=0.5 over 8 samples x 2 cameras: some camera dropped w.p. 1-2^-16
+    assert not np.array_equal(np.asarray(p_drop), np.asarray(p_full))
+    pe1, _ = model.apply(variables, batch, train=False)
+    pe0, _ = m0.apply(variables, batch, train=False)
+    np.testing.assert_array_equal(np.asarray(pe1), np.asarray(pe0))

@@ -217,3 +217,17 @@ def test_rot6d_gradient_descent_reaches_target():
     ang = pm.quat_geodesic_angle(pm.rot6d_to_quat(x), target,
                                  grad_safe=False)
     assert float(jnp.max(ang)) < 0.05, float(jnp.max(ang))
+
+
+def test_quat_normalize_gradient_finite_at_zero():
+    """The soft-norm quat_normalize must have a finite gradient at q == 0
+    (the max(|q|, eps) form leaked NaN through the untaken branch; hit in
+    training when model.camera_dropout zeroes a sample's every feature and
+    the raw head output is exactly 0)."""
+    g = jax.grad(lambda q: jnp.sum(pm.quat_normalize(q)))(jnp.zeros(4))
+    assert bool(jnp.isfinite(g).all())
+    # and values away from zero are unchanged vs the plain norm
+    q = jnp.asarray([0.3, -1.2, 0.5, 2.0])
+    np.testing.assert_allclose(np.asarray(pm.quat_normalize(q)),
+                               np.asarray(q / jnp.linalg.norm(q)),
+                               rtol=1e-7, atol=0)
