@@ -115,9 +115,12 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     "predictions_path" to the report -- the raw material for failure
     triage beyond what per_demo/percentiles aggregate.
 
-    drop_cameras: camera names scored as DEAD (their features zeroed via
-    a camera_mask, NOT fed zero pixels) -- measures how the model holds
-    up when a sensor fails, the case model.camera_dropout trains for."""
+    drop_cameras: camera names scored as DEAD -- removed from the batch
+    structurally, so their branch contributes the zeroed feature vector
+    a failed sensor presents (and their encoders never run). Measures how
+    the model holds up when a sensor fails, the case model.camera_dropout
+    trains for; on a model trained WITHOUT it, this scores the
+    out-of-distribution collapse (a number worth knowing too)."""
     if data_path is not None:
         cfg = cfg.override(**{"data.path": data_path,
                               "data.source": "hdf5",
@@ -128,7 +131,14 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     if per_demo and cfg.data.source != "hdf5":
         raise ValueError("evaluate(per_demo=True) requires an hdf5 "
                          "data source (demos are HDF5 trajectories)")
-    drop_cameras = tuple(drop_cameras)
+    # dedup (cli --drop-camera is repeatable; the same name twice must not
+    # trip the drop-every-input check below)
+    drop_cameras = tuple(dict.fromkeys(drop_cameras))
+    if drop_cameras and cfg.model.backbone == "none":
+        raise ValueError(
+            "evaluate(drop_cameras=...) is meaningless for a proprio-only "
+            "model (model.backbone='none'): there are no camera branches "
+            "to kill, the metrics would silently equal the normal eval")
     unknown = [c for c in drop_cameras if c not in cfg.model.cameras]
     if unknown:
         raise ValueError(
@@ -199,7 +209,8 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
         n = len(dataset)
         out["n_samples"] = n
         pred = Predictor(cfg, state=state, model=model,
-                         max_batch=min(64, n))
+                         max_batch=min(64, n),
+                         allow_missing_cameras=bool(drop_cameras))
         pos_err = np.empty(n, np.float32)
         rot_err = np.empty(n, np.float32)
         dump: Dict[str, np.ndarray] = {
@@ -214,8 +225,8 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
             tpos = batch.pop("target_pos")
             tquat = batch.pop("target_quat")
             for cam in drop_cameras:
-                # Predictor substitutes the dead-camera mask (same
-                # semantics as the sharded metric pass above)
+                # structurally absent = dead (same semantics as the
+                # sharded metric pass above; models/fusion.py)
                 batch["images"].pop(cam)
             pos, quat = pred(batch)
             pe, re_ = pose_errors(pos, quat, tpos, tquat)
@@ -286,29 +297,47 @@ class Predictor:
     (squeezed for unbatched input). Inputs are padded to a fixed batch size
     so repeated calls never recompile (SURVEY.md section 4.3).
 
-    A configured camera MAY be omitted from obs (sensor died): its
-    features are zeroed via a camera_mask -- meaningful when the model
-    trained with model.camera_dropout > 0, otherwise out-of-distribution.
-    The masked call compiles once as its own shape; a stack alternating
-    between full and dead-camera obs holds two compiled signatures, not a
-    growing cache.
+    A configured camera MAY be omitted from obs (sensor died) when the
+    model trained with model.camera_dropout > 0 (or the Predictor was
+    built with allow_missing_cameras=True): the dead camera's branch
+    contributes the zeroed feature vector the dropout trained for, and
+    its encoder is skipped entirely (models/fusion.py) -- dead-camera
+    serving costs LESS, not the same. Each distinct present-camera set
+    compiles once; a stack alternating between full and one-dead obs
+    holds two compiled signatures, not a growing cache. Without the
+    dropout training (and without the explicit opt-in), a missing camera
+    raises KeyError -- a typo'd obs key must not silently serve the
+    out-of-distribution collapse (docs/DESIGN.md "Sensor-failure
+    robustness" measures ~4x worse position error).
     """
 
     def __init__(self, cfg: Config, ckpt_dir: Optional[str] = None,
                  step: Union[int, str, None] = None, max_batch: int = 8,
-                 state=None, model=None):
+                 state=None, model=None, allow_missing_cameras: bool = False):
         self.cfg = cfg
         if state is None or model is None:
             model, state, _ = _restore(cfg, ckpt_dir, step)
         self.model = model
         self.state = state
         self.max_batch = max_batch
+        self.allow_missing_cameras = (allow_missing_cameras
+                                      or cfg.model.camera_dropout > 0)
         self._fn = make_predict_fn(model)
 
     def _batched(self, obs: Dict[str, Any]) -> Tuple[Dict[str, Any], int, bool]:
         m = self.cfg.model
         present = [c for c in m.cameras if c in obs.get("images", {})]
         missing = [c for c in m.cameras if c not in present]
+        if missing and m.backbone != "none" \
+                and not self.allow_missing_cameras:
+            raise KeyError(
+                f"obs['images'] is missing cameras {missing} of "
+                f"model.cameras={list(m.cameras)}. If the sensor really is "
+                "dead, train with model.camera_dropout > 0 (the model then "
+                "serves the failure gracefully) or pass "
+                "Predictor(..., allow_missing_cameras=True) to accept the "
+                "out-of-distribution degradation; if this is a typo'd "
+                "camera key, fix the obs dict")
         if m.backbone != "none" and not present and not m.use_proprio:
             raise ValueError(
                 f"obs supplies none of the model's cameras "
@@ -333,23 +362,12 @@ class Predictor:
             batch["proprio"] = prep(obs["proprio"]).astype(np.float32)
             n = batch["proprio"].shape[0]
         if m.backbone != "none":
+            # a missing (dead) camera stays structurally absent: the model
+            # contributes its zeroed feature vector and never runs its
+            # encoder (models/fusion.py) -- no placeholder pixels, no mask
             imgs = {c: prep(obs["images"][c]) for c in present}
             if present:
                 n = next(iter(imgs.values())).shape[0]
-            if missing:
-                # dead/omitted camera: zero-pixel placeholder keeps the
-                # compiled input structure; a zero camera_mask column
-                # zeroes its FEATURES (models/fusion.py) -- the
-                # representation model.camera_dropout trains the head for
-                t = (m.temporal_frames,) if m.temporal_frames > 1 else ()
-                hw = (m.image_size, m.image_size, 3)
-                for c in missing:
-                    imgs[c] = np.zeros((n, *t, *hw), np.uint8)
-                mask = np.ones((n, len(m.cameras)), np.float32)
-                for i, c in enumerate(m.cameras):
-                    if c in missing:
-                        mask[:, i] = 0.0
-                batch["camera_mask"] = mask
             batch["images"] = imgs
 
         # pad to a multiple of the compiled batch size (no recompiles for

@@ -31,6 +31,9 @@ def _parse_value(s: str):
             return [json.loads(p) for p in s.split(",")]
         except json.JSONDecodeError:
             pass
+    # plain string: if the target field is a tuple, Config.override splits
+    # it on commas (--set model.cameras=agentview,robot0_eye_in_hand);
+    # string fields with commas (data.path globs, proprio_key) pass through
     return s
 
 

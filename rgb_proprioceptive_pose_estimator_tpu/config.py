@@ -512,7 +512,14 @@ class Config:
         return cls.from_dict(json.loads(s))
 
     def override(self, **dotted: Any) -> "Config":
-        """Apply dotted-path overrides, e.g. cfg.override(**{"train.lr": 3e-4})."""
+        """Apply dotted-path overrides, e.g. cfg.override(**{"train.lr": 3e-4}).
+
+        A str value for a tuple-valued field is split on commas (elements
+        JSON-decoded where possible), so `--set model.cameras=agentview,
+        robot0_eye_in_hand` and `--set model.head_hidden=512,256` work
+        without JSON-list quoting -- cli._parse_value cannot do this
+        itself because bare words aren't valid JSON and NON-tuple fields
+        (data.path globs, data.proprio_key) legitimately contain commas."""
         d = self.to_dict()
         for path, value in dotted.items():
             parts = path.split(".")
@@ -521,6 +528,14 @@ class Config:
                 node = node[p]
             if parts[-1] not in node:
                 raise KeyError(f"unknown config key {path}")
+            if isinstance(value, str) and isinstance(node[parts[-1]], tuple):
+                def _elem(s: str) -> Any:
+                    try:
+                        return json.loads(s)
+                    except json.JSONDecodeError:
+                        return s
+                value = tuple(_elem(p.strip())
+                              for p in value.split(",") if p.strip())
             node[parts[-1]] = value
         return Config.from_dict(d)
 

@@ -384,23 +384,22 @@ def make_eval_step(model, cfg: TrainConfig,
     Signature (state, batch, image_cache=None) -- see make_train_step on
     why the device cache is an argument, not a capture.
 
-    drop_camera_idx (static): camera indices scored as DEAD -- a zero
-    camera_mask column zeroes their features (models/fusion.py), the
-    sensor-failure case cfg.model.camera_dropout trains for. Used by
+    drop_camera_idx (static): camera indices scored as DEAD -- removed
+    from batch["images"] STRUCTURALLY, so the model contributes the
+    zeroed feature vector cfg.model.camera_dropout trains for (bitwise
+    what a zero camera_mask column produces, models/fusion.py) and the
+    dead camera's encoder forward is skipped entirely. Used by
     api.evaluate(drop_cameras=...)."""
-    n_cams = len(model.cfg.cameras)
+    drop_names = frozenset(model.cfg.cameras[i] for i in drop_camera_idx)
 
     def step(state: TrainState, batch, image_cache=None
              ) -> Dict[str, jax.Array]:
         if image_cache is not None and "image_idx" in batch:
             batch = gather_cached_images(image_cache, batch)
-        if drop_camera_idx:
-            b = batch["target_pos"].shape[0]
-            mask = jnp.ones((b, n_cams), jnp.float32)
-            mask = mask.at[:, list(drop_camera_idx)].set(0.0)
-            existing = batch.get("camera_mask")
-            batch = dict(batch, camera_mask=(
-                mask if existing is None else existing * mask))
+        if drop_names and "images" in batch:
+            batch = dict(batch, images={
+                k: v for k, v in batch["images"].items()
+                if k not in drop_names})
         # eval_variables: EMA weights when train.ema_decay is on
         pos, quat = model.apply(state.eval_variables(), batch, train=False)
         _, aux = pose_loss(

@@ -11,6 +11,12 @@ Input batch dict convention (produced by `data/`):
                               camera is dead (its features zero out --
                               see config.py model.camera_dropout)
 
+A camera may also be STRUCTURALLY absent from batch["images"] (a key
+simply missing): same zeroed-feature semantics as a zero mask column,
+but static per compiled signature, so the dead camera's encoder is
+skipped entirely -- the serving path for a failed sensor (api.Predictor,
+api.evaluate(drop_cameras=)).
+
 Output: (pos (B, 3) float32, quat (B, 4) float32 unit-normalized).
 
 Temporal stacking (BASELINE.json:11): T frames stack along channels
@@ -97,6 +103,20 @@ class PoseEstimator(nn.Module):
         if cfg.backbone != "none":
             images = batch["images"]
             lstm = cfg.temporal_frames > 1 and cfg.temporal_mode == "lstm"
+            n_cam = len(cfg.cameras)
+            # a camera may be STRUCTURALLY absent from batch["images"]
+            # (dead sensor at serving/eval time, api.py): its contribution
+            # is the all-zero feature vector cfg.camera_dropout trains the
+            # head for, and its encoder is skipped entirely -- no
+            # placeholder-pixel FLOPs. Static per compiled signature.
+            present = [c for c in cfg.cameras if c in images]
+            if not present and not cfg.use_proprio:
+                raise ValueError(
+                    f"batch['images'] supplies none of the model's cameras "
+                    f"{list(cfg.cameras)} and the model has no proprio "
+                    "branch")
+            b = (images[present[0]].shape[0] if present
+                 else batch["proprio"].shape[0])
             # optional (B, n_cameras) mask, 0 = camera dead: a dead
             # camera's features zero out, the representation the head was
             # trained for under cfg.camera_dropout (config.py). Absent
@@ -107,29 +127,48 @@ class PoseEstimator(nn.Module):
                 # inference with a dead camera presents exactly the
                 # zeroed features training sampled here. Reuses the
                 # "dropout" rng the train step always provides.
-                b = next(iter(images.values())).shape[0]
-                n_cam = len(cfg.cameras)
                 keep = jax.random.bernoulli(
                     self.make_rng("dropout"), 1.0 - cfg.camera_dropout,
                     (b, n_cam)).astype(jnp.float32)
+                # cameras live BEFORE dropout: an incoming batch mask and
+                # structural absence both bound what dropout may resurrect
+                live_in = jnp.asarray(
+                    [1.0 if c in images else 0.0 for c in cfg.cameras])
+                if cam_mask is not None:
+                    live_in = live_in * cam_mask
+                live_in = jnp.broadcast_to(live_in, (b, n_cam))
+                combined = keep * live_in
                 if not cfg.use_proprio:
                     # independent drops can kill EVERY camera of a sample
                     # (p^n per sample); without a proprio branch that
                     # sample carries zero information and its raw head
-                    # output is exactly 0. Force one uniformly-chosen
-                    # camera back on for such rows. (With proprio, the
-                    # all-cameras-dead sample is a VALID training case.)
+                    # output is exactly 0. Force one camera back on for
+                    # such rows, chosen uniformly among the cameras that
+                    # were live BEFORE dropout (forcing one the incoming
+                    # mask killed would defeat the guard). Rows with no
+                    # live camera at all stay all-dead -- the caller asked
+                    # for that. (With proprio, the all-cameras-dead sample
+                    # is a VALID training case.)
                     forced = jax.nn.one_hot(
-                        jax.random.randint(self.make_rng("dropout"),
-                                           (b,), 0, n_cam),
+                        jax.random.categorical(
+                            self.make_rng("dropout"),
+                            jnp.where(live_in > 0, 0.0, -1e9)),
                         n_cam, dtype=jnp.float32)
-                    dead = (jnp.sum(keep, axis=-1, keepdims=True)
-                            == 0).astype(jnp.float32)
-                    keep = keep + dead * forced
-                cam_mask = keep if cam_mask is None else cam_mask * keep
+                    dead = jnp.logical_and(
+                        jnp.sum(combined, axis=-1, keepdims=True) == 0,
+                        jnp.sum(live_in, axis=-1, keepdims=True) > 0,
+                    ).astype(jnp.float32)
+                    combined = combined + dead * forced
+                cam_mask = combined
             # one encoder per camera (C10, BASELINE.json:11)
             for ci, cam in enumerate(cfg.cameras):
-                img = images[cam]
+                img = images.get(cam)
+                if img is None:
+                    # dead sensor: exactly the zeroed-feature vector the
+                    # mask path produces (bitwise -- encoder(x) * 0 == 0),
+                    # minus the encoder forward
+                    feats.append(jnp.zeros((b, cfg.image_features), dtype))
+                    continue
                 if lstm:
                     # temporally-dependent variant (SURVEY.md 1.3): encode
                     # each frame, run an LSTM over the feature sequence

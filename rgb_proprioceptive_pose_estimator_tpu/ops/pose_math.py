@@ -17,19 +17,27 @@ import jax.numpy as jnp
 _ACOS_CLIP = 1.0 - 1e-6
 
 
-def quat_normalize(q: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Normalize to a unit quaternion; value- AND gradient-safe at q == 0.
+def _soft_normalize(v: jax.Array, eps: float) -> jax.Array:
+    """v / sqrt(|v|^2 + eps^2): unit-normalize, value- AND gradient-safe
+    at v == 0. The usual v / max(|v|, eps) has a fine VALUE at 0 but a NaN
+    gradient there (the |v| branch differentiates to v/|v| = 0/0, and the
+    chain rule leaks the NaN through max's untaken branch -- hit for real
+    when model.camera_dropout zeroes every feature of a sample and the raw
+    head output is exactly 0). The soft form's gradient at 0 is a finite
+    1/eps. Accuracy note: eps^2 sits below f32 resolution of |v|^2 for any
+    non-degenerate |v| (>= ~1e-4 at eps=1e-8), so outputs there agree with
+    the exact norm to f32 precision; only as |v| approaches eps does the
+    output smoothly shrink below unit length (consumers that care
+    renormalize -- loss/metric paths here all do)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v / jnp.sqrt(sq + eps * eps)
 
-    The soft norm sqrt(|q|^2 + eps^2) instead of max(|q|, eps): the max
-    form's VALUE is fine at 0 but its gradient is NaN there (the |q|
-    branch differentiates to q/|q| = 0/0, and the chain rule leaks the
-    NaN through the untaken branch -- hit for real when
-    model.camera_dropout zeroes every feature of a sample and the raw
-    head output is exactly 0). eps^2 = 1e-16 is below f32 resolution for
-    any non-degenerate |q|, so values are bitwise-unchanged away from 0;
-    at 0 the gradient is a finite 1/eps."""
-    sq = jnp.sum(q * q, axis=-1, keepdims=True)
-    return q / jnp.sqrt(sq + eps * eps)
+
+def quat_normalize(q: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Normalize to a unit quaternion; gradient-safe at q == 0 (soft norm,
+    see _soft_normalize -- the raw pose head can emit exactly 0 when
+    model.camera_dropout zeroes a sample's every input feature)."""
+    return _soft_normalize(q, eps)
 
 
 def quat_conjugate(q: jax.Array) -> jax.Array:
@@ -178,11 +186,16 @@ def rot6d_to_matrix(x: jax.Array) -> jax.Array:
     Gram-Schmidt orthonormalizes them and the third column is the cross
     product. Smooth and surjective onto SO(3) -- unlike quaternions there
     is no antipodal double cover, which is why it trains better as a raw
-    network output (model.rot_rep="rot6d")."""
+    network output (model.rot_rep="rot6d").
+
+    Both normalizations use the soft norm (_soft_normalize): the raw head
+    output can be exactly 0 under model.camera_dropout (config.py), and
+    the max-based norm's gradient NaNs there -- same bug class as
+    quat_normalize, fixed at the same depth."""
     a1, a2 = x[..., :3], x[..., 3:6]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-8)
+    b1 = _soft_normalize(a1, 1e-8)
     a2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = a2 / jnp.maximum(jnp.linalg.norm(a2, axis=-1, keepdims=True), 1e-8)
+    b2 = _soft_normalize(a2, 1e-8)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)   # columns
 

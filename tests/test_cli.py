@@ -25,6 +25,26 @@ def test_unknown_override_fails():
         main(["config", "--preset", "pr1", "--set", "train.bogus=1"])
 
 
+def test_tuple_fields_accept_bare_comma_lists(capsys):
+    """--set model.cameras=a,b must work without JSON-list quoting (tuple
+    fields split a str override on commas; elements JSON-decode where
+    possible so numeric tuples keep their types). Non-tuple fields that
+    legitimately contain commas (data.path globs, data.proprio_key) must
+    stay untouched strings."""
+    assert main(["config", "--preset", "pr3",
+                 "--set", "model.cameras=agentview,robot0_eye_in_hand",
+                 "--set", "model.head_hidden=128,64",
+                 "--set", "data.proprio_key=obs/eef_pos,obs/eef_quat"]) == 0
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["model"]["cameras"] == ["agentview", "robot0_eye_in_hand"]
+    assert cfg["model"]["head_hidden"] == [128, 64]
+    assert cfg["data"]["proprio_key"] == "obs/eef_pos,obs/eef_quat"
+    # single element, no comma: still a 1-tuple (pr1 starts from cameras=())
+    from rgb_proprioceptive_pose_estimator_tpu.config import preset
+    assert preset("pr1").override(
+        **{"model.cameras": "agentview"}).model.cameras == ("agentview",)
+
+
 def test_train_eval_predict_roundtrip(tmp_path, demo_h5, capsys):
     common = [
         "--preset", "pr2",

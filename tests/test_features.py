@@ -235,6 +235,14 @@ def test_camera_dropout_end_to_end(tmp_path, demo_h5):
         rppe.evaluate(cfg, drop_cameras=("bogus",))
     with pytest.raises(ValueError, match="every input"):
         rppe.evaluate(cfg, drop_cameras=cfg.model.cameras)
+    # duplicates (cli --drop-camera is repeatable) dedup, not spuriously
+    # trip the drop-every-input check
+    dup = rppe.evaluate(cfg, max_batches=1,
+                        drop_cameras=("agentview", "agentview"))
+    assert np.isfinite(dup["pos_mae_cm"])
+    # proprio-only model: no camera branches to kill -- loud, not a no-op
+    with pytest.raises(ValueError, match="proprio-only"):
+        rppe.evaluate(rppe.preset("pr1"), drop_cameras=("agentview",))
 
     ds = build_dataset(cfg, split="all")
     batch = ds.get_batch(np.arange(4), augment=False, seed=0)
@@ -264,3 +272,14 @@ def test_camera_dropout_end_to_end(tmp_path, demo_h5):
     ref_pos, ref_quat = pred._fn(pred.state.eval_variables(), ref_batch)
     np.testing.assert_allclose(pos_dead, np.asarray(ref_pos), atol=1e-6)
     np.testing.assert_allclose(quat_dead, np.asarray(ref_quat), atol=1e-6)
+
+    # a model trained WITHOUT camera_dropout must fail loudly on a missing
+    # camera (a typo'd obs key silently serving the out-of-distribution
+    # collapse is the production footgun) -- unless explicitly opted in
+    cfg0 = cfg.override(**{"model.camera_dropout": 0.0})
+    strict = rppe.Predictor(cfg0, max_batch=4)
+    with pytest.raises(KeyError, match="missing cameras"):
+        strict(obs_dead)
+    opted = rppe.Predictor(cfg0, max_batch=4, allow_missing_cameras=True)
+    pos_opt, _ = opted(obs_dead)
+    np.testing.assert_allclose(pos_opt, pos_dead, atol=1e-6)

@@ -323,6 +323,71 @@ def test_camera_mask_zeroes_camera_features():
     assert not np.array_equal(np.asarray(pa), np.asarray(pc))
 
 
+def test_missing_camera_key_equals_zero_mask():
+    """A camera STRUCTURALLY absent from batch['images'] must produce
+    bitwise the output of a zero camera_mask column (the dead camera's
+    features are exactly 0 either way) -- this is the serving path for a
+    failed sensor, and it skips the dead encoder entirely."""
+    cfg = ModelConfig(backbone="cnn_small", image_size=32,
+                      cameras=("agentview", "robot0_eye_in_hand"),
+                      use_proprio=False, image_features=32,
+                      head_hidden=(32,))
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    mask = np.ones((2, 2), np.float32)
+    mask[:, 0] = 0.0   # agentview dead via mask
+    pm_, qm = model.apply(variables, {**batch, "camera_mask": mask},
+                          train=False)
+    absent = {"images": {"robot0_eye_in_hand":
+                         batch["images"]["robot0_eye_in_hand"]}}
+    ps, qs = model.apply(variables, absent, train=False)
+    np.testing.assert_array_equal(np.asarray(pm_), np.asarray(ps))
+    np.testing.assert_array_equal(np.asarray(qm), np.asarray(qs))
+    # no cameras at all without a proprio branch is a loud error
+    with pytest.raises(ValueError, match="none of the model's cameras"):
+        model.apply(variables, {"images": {}}, train=False)
+
+
+def test_camera_dropout_respects_external_mask():
+    """The force-one-camera-alive guard must only resurrect cameras that
+    were live BEFORE dropout: with an incoming camera_mask declaring
+    camera 0 dead, no train-mode sample may depend on camera 0's pixels
+    (the old keep+forced ordering could resurrect it)."""
+    cfg = ModelConfig(backbone="cnn_small", image_size=32,
+                      cameras=("agentview", "robot0_eye_in_hand"),
+                      use_proprio=False, image_features=32,
+                      head_hidden=(32,), camera_dropout=0.9)
+    model = build_model(cfg)
+    batch = example_batch(cfg, batch_size=16)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    mask = np.ones((16, 2), np.float32)
+    mask[:, 0] = 0.0   # agentview dead for every row
+
+    def fwd(b):
+        (pos, quat), _ = model.apply(
+            variables, {**b, "camera_mask": mask}, train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(7)})
+        return np.asarray(pos), np.asarray(quat)
+
+    p0, q0 = fwd(batch)
+    scrambled = dict(batch)
+    scrambled["images"] = dict(batch["images"])
+    scrambled["images"]["agentview"] = 255 - batch["images"]["agentview"]
+    p1, q1 = fwd(scrambled)
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_array_equal(q0, q1)
+    # ... while the live camera still matters: at p=0.9 most rows lose it
+    # to dropout and get it forced back (the only live camera)
+    scrambled2 = dict(batch)
+    scrambled2["images"] = dict(batch["images"])
+    scrambled2["images"]["robot0_eye_in_hand"] = (
+        255 - batch["images"]["robot0_eye_in_hand"])
+    p2, _ = fwd(scrambled2)
+    assert not np.array_equal(p0, p2)
+
+
 def test_camera_dropout_validation():
     with pytest.raises(ValueError, match="camera_dropout"):
         ModelConfig(camera_dropout=1.5)

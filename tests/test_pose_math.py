@@ -231,3 +231,22 @@ def test_quat_normalize_gradient_finite_at_zero():
     np.testing.assert_allclose(np.asarray(pm.quat_normalize(q)),
                                np.asarray(q / jnp.linalg.norm(q)),
                                rtol=1e-7, atol=0)
+
+
+def test_rot6d_gradient_finite_at_zero():
+    """Same NaN-gradient-at-zero class as quat_normalize, through the
+    FULL rot6d head path (rot6d -> Gram-Schmidt -> matrix -> quat): the
+    raw head output is exactly 0 when camera_dropout zeroes a sample's
+    every feature, and rot_rep='rot6d' + camera_dropout is a permitted
+    config. Also degenerate-but-nonzero inputs (a1 parallel to a2, where
+    the Gram-Schmidt residual vanishes)."""
+    for x0 in (jnp.zeros(6),
+               jnp.asarray([1.0, 0.0, 0.0, 2.0, 0.0, 0.0]),   # a1 ∥ a2
+               jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.0, 0.0])):  # a1 == 0
+        g = jax.grad(lambda x: jnp.sum(pm.rot6d_to_quat(x)))(x0)
+        assert bool(jnp.isfinite(g).all()), (x0, g)
+    # and a healthy input still round-trips exactly
+    q = pm.quat_normalize(jnp.asarray([0.4, -0.3, 0.8, 0.2]))
+    x = pm.matrix_to_rot6d(pm.quat_to_matrix(q))
+    np.testing.assert_allclose(np.asarray(pm.quat_abs_dot(
+        pm.rot6d_to_quat(x), q)), 1.0, atol=1e-6)
