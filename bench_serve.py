@@ -117,6 +117,40 @@ def main() -> None:
     results["predictor_device_only_max_batch"] = time_calls(
         dev_call, args.calls)
 
+    # --- 1b. dead-camera serving (model.camera_dropout path) -------------
+    # a structurally absent camera skips its encoder entirely
+    # (models/fusion.py): degraded-hardware serving must cost LESS. Shown
+    # on the dual-camera variant where the savings is ~half the conv
+    # FLOPs. Measured at a larger batch than the robot-stack sections:
+    # this environment's proxied TPU puts a ~24 ms tunnel-RTT floor under
+    # every dispatch+fetch, which swallows the per-call saving at batch 8;
+    # at dead_camera_batch the compute rises above the floor and the
+    # encoder skip becomes directly visible (a local chip sees the same
+    # absolute saving at every batch size).
+    dc_batch = max(args.max_batch, 512)
+    cfg2 = cfg.override(**{
+        "model.cameras": ("agentview", "robot0_eye_in_hand"),
+        "model.camera_dropout": 0.15})
+    model2 = build_model(cfg2.model)
+    state2 = create_state(cfg2, make_optimizer(cfg2.train), seed=0)
+    pred2 = Predictor(cfg2, state=state2, model=model2,
+                      max_batch=dc_batch)
+    results["dead_camera_batch"] = dc_batch
+    b2 = example_batch(cfg2.model, batch_size=dc_batch)
+    b2.pop("target_pos"), b2.pop("target_quat")
+    variables2 = jax.device_put(state2.variables())
+    full_b = jax.device_put(b2)
+    dead_b = jax.device_put(
+        {"images": {"robot0_eye_in_hand": b2["images"]["robot0_eye_in_hand"]},
+         "proprio": b2["proprio"]})
+    jax.block_until_ready((full_b, dead_b))
+    for tag, dev in (("dualcam_full", full_b), ("dualcam_one_dead", dead_b)):
+        def dev_call2(dev=dev):
+            pos, _ = pred2._fn(variables2, dev)
+            np.asarray(pos)
+        results[f"predictor_{tag}_device_only"] = time_calls(
+            dev_call2, args.calls)
+
     # --- 2. loaded StableHLO export --------------------------------------
     path = "/tmp/rppe_serve_bench.rppe"
     export_predictor(path, cfg, state=state, max_batch=args.max_batch)

@@ -305,3 +305,49 @@ def test_rot6d_dp_step_matches_single_device():
     np.testing.assert_allclose(l1, l8, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_camera_dropout_dp_step_matches_single_device():
+    """model.camera_dropout under SPMD: the per-sample camera-keep mask is
+    drawn from the step rng inside the jitted graph, and the (B, n_cam)
+    bernoulli/categorical draws must partition with the batch so 8-device
+    training takes the SAME per-sample drop decisions as 1-device (else
+    the 'same seed, same run' reproducibility contract silently breaks
+    the moment the robustness feature is on). Pinned via the 3-step loss
+    trajectory (the loss at step k+1 sees step k's masks through the
+    updated params -- any mask divergence explodes it) plus the params
+    after ONE step; the multi-step param check the other DP tests use is
+    too tight here, because a masked branch's gradient comes from only
+    ~(1-p) of the samples, which amplifies f32 psum-reassociation noise
+    compounding across steps (measured: equal losses to 1e-7 while
+    3-step params drift ~1e-2 relative on near-zero leaves)."""
+    base = _cfg()
+    cfg = Config(
+        model=dataclasses.replace(
+            base.model, cameras=("agentview", "robot0_eye_in_hand"),
+            use_proprio=False, proprio_dim=0, camera_dropout=0.4),
+        data=base.data,
+        train=TrainConfig(lr=1e-2, optimizer="sgd"))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    step = make_train_step(model, tx, cfg.train)
+    batch = example_batch(cfg.model, batch_size=16, rng=13)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = pmesh.make_mesh(n_dev)
+        state = create_state(cfg, tx, seed=0)
+        state = jax.device_put(state, pmesh.replicated_sharding(mesh))
+        db = pmesh.shard_batch(batch, pmesh.batch_sharding(mesh))
+        losses, params_step1 = [], None
+        for _ in range(3):
+            state, metrics = step(state, db)
+            losses.append(float(metrics["loss"]))
+            if params_step1 is None:
+                params_step1 = jax.device_get(state.params)
+        results[n_dev] = (params_step1, losses)
+
+    (p1, l1), (p8, l8) = results[1], results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
