@@ -186,7 +186,8 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
         )
 
         eval_cache = upload_image_cache(dataset, cfg.model.image_size,
-                                        pmesh.replicated_sharding(mesh))
+                                        pmesh.replicated_sharding(mesh),
+                                        skip_cameras=drop_cameras)
     eval_step = make_eval_step(model, cfg.train, drop_camera_idx=drop_idx)
     out = evaluate_pipeline(eval_step, state, pipe, max_batches=max_batches,
                             image_cache=eval_cache)
@@ -384,11 +385,22 @@ class Predictor:
         batch = jax.tree.map(padded, batch)
         return batch, n, unbatched
 
-    def warmup(self) -> "Predictor":
+    def warmup(self, dead_camera_sets: Sequence[Sequence[str]] = ()
+               ) -> "Predictor":
         """Pay the one-time jit compile (and any device handshakes) now,
         before a latency-sensitive control loop starts: runs one zeroed
         max_batch-shaped call end-to-end. Subsequent calls execute the
-        same compiled shape (see __call__). Returns self for chaining."""
+        same compiled shape (see __call__). Returns self for chaining.
+
+        dead_camera_sets: additionally pre-compile the dead-camera
+        signatures a robust stack may hit mid-run -- each entry is a
+        set of cameras to omit (a distinct compiled signature). Without
+        this, the FIRST call after a sensor dies pays a fresh jit compile
+        (seconds) exactly when the control loop is already degraded.
+        E.g. warmup(dead_camera_sets=[("agentview",),
+        ("robot0_eye_in_hand",)]) for every single-failure of a dual-cam
+        model. Requires the model to accept missing cameras (trained with
+        model.camera_dropout, or allow_missing_cameras=True)."""
         m = self.cfg.model
         t = (m.temporal_frames,) if m.temporal_frames > 1 else ()
         obs: Dict[str, Any] = {}
@@ -401,6 +413,17 @@ class Predictor:
             obs["proprio"] = np.zeros(
                 (self.max_batch, *t, m.proprio_dim), np.float32)
         self(obs)
+        for dead in dead_camera_sets:
+            dead = set(dead)
+            unknown = dead - set(m.cameras)
+            if unknown:
+                raise ValueError(
+                    f"warmup(dead_camera_sets=...): {sorted(unknown)} not "
+                    f"in model.cameras={list(m.cameras)}")
+            dobs = dict(obs)
+            dobs["images"] = {c: v for c, v in obs["images"].items()
+                              if c not in dead}
+            self(dobs)
         return self
 
     def __call__(self, obs: Dict[str, Any]) -> Tuple[np.ndarray, np.ndarray]:

@@ -62,13 +62,20 @@ def _device_cache_budget() -> int:
 
 
 def upload_image_cache(store, hw: int, sharding,
-                       budget_bytes: int = 0) -> Dict[str, jax.Array]:
+                       budget_bytes: int = 0,
+                       skip_cameras=()) -> Dict[str, jax.Array]:
     """data.device_cache: build the deterministic resize cache and place it
     on the mesh (replicated). Errors before OOM-ing the device; the budget
     derives from the device's own memory_stats (ADVICE r2 -- a hard-coded
     limit both rejects viable runs on big chips and passes doomed ones on
-    small), overridable via `budget_bytes`."""
+    small), overridable via `budget_bytes`.
+
+    skip_cameras: cameras excluded from the upload (and the budget) --
+    evaluate(drop_cameras=...) scores them dead, so caching their frames
+    would waste HBM and upload time; the step's gather then never
+    materializes them either (gather_cached_images iterates cache keys)."""
     arrs = store.build_resized_cache(hw)
+    arrs = {c: a for c, a in arrs.items() if c not in set(skip_cameras)}
     total = sum(a.nbytes for a in arrs.values())
     budget = budget_bytes or _device_cache_budget()
     if total > budget:

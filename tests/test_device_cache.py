@@ -120,3 +120,25 @@ def test_device_cache_requires_image_backbone():
     })
     with pytest.raises(ValueError, match="backbone"):
         build_dataset(cfg)
+
+
+def test_evaluate_drop_camera_with_device_cache(tmp_path):
+    """evaluate(drop_cameras=) through the device-cache path: the dead
+    camera is skipped at cache UPLOAD (no HBM spent on frames that will
+    never be encoded), the in-graph gather only materializes live cameras,
+    and the metrics match the raw-pixel host path exactly."""
+    p = str(tmp_path / "d2.hdf5")
+    write_demo_fixture(p, n_demos=3, steps=12, image_hw=72, seed=5,
+                       cameras=("agentview", "robot0_eye_in_hand"))
+    cfg = _cfg(p, tmp_path, True, **{
+        "model.cameras": ("agentview", "robot0_eye_in_hand"),
+        "model.camera_dropout": 0.3, "model.image_features": 32,
+        "model.head_hidden": (32,)})
+    rppe.train(cfg)
+    dead_dc = rppe.evaluate(cfg, split="val", drop_cameras=("agentview",))
+    dead_host = rppe.evaluate(cfg.override(**{"data.device_cache": False}),
+                              split="val", drop_cameras=("agentview",))
+    for k in ("pos_mae_cm", "rot_mae_deg"):
+        np.testing.assert_allclose(dead_dc[k], dead_host[k], rtol=1e-5)
+    full = rppe.evaluate(cfg, split="val")
+    assert dead_dc["pos_mae_cm"] != full["pos_mae_cm"]

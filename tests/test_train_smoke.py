@@ -498,3 +498,16 @@ def test_predictor_warmup_image_temporal():
     }
     pos, quat = pred(obs)
     assert pos.shape == (3,) and quat.shape == (4,)   # unbatched (T, ...)
+
+    # dead-camera signatures pre-compile and then serve (the first call
+    # after a sensor dies must not pay a fresh jit compile mid-loop)
+    pred2 = rppe.Predictor(cfg, state=state, model=model, max_batch=2,
+                           allow_missing_cameras=True).warmup(
+        dead_camera_sets=[("agentview",)])
+    dpos, dquat = pred2({
+        "images": {"wrist": obs["images"]["wrist"]},
+        "proprio": obs["proprio"]})
+    assert dpos.shape == (3,) and dquat.shape == (4,)
+    assert not np.allclose(dpos, pos)
+    with pytest.raises(ValueError, match="not in"):
+        pred2.warmup(dead_camera_sets=[("bogus",)])
