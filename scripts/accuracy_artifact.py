@@ -94,7 +94,19 @@ ROWS = {
                                "data.augment_device": False},
     # realistic correlated proprio (eef-pose-like, sigma=0.05): fusion
     # should BEAT image-only here -- the case the architecture exists for
-    "image+noisy-pose-proprio": {"_fixture": "noisy"},
+    # (the "_eval_drop" eval scores the CAMERA dead: without
+    # camera_dropout training the zeroed image features are OOD even
+    # though the proprio branch still carries the pose)
+    "image+noisy-pose-proprio": {"_fixture": "noisy",
+                                 "_eval_drop": ("agentview",)},
+    # the all-sensors-degraded fallback: with camera_dropout the model
+    # TRAINS the camera-dead case (with a proprio branch, all-cameras-
+    # dead rows are kept as valid training samples, models/fusion.py),
+    # so a dead camera should degrade toward the proprio-informed floor
+    # instead of collapsing (name avoids a comma: --rows splits on them)
+    "image+noisy-pose-proprio (cam-dropout)": {
+        "_fixture": "noisy", "model.camera_dropout": 0.15,
+        "_eval_drop": ("agentview",)},
     # informative-proprio case with the branch regularized: small-data
     # guidance row (does dropout preserve the fusion win too?)
     "image+noisy-pose-proprio (dropout)": {
@@ -306,12 +318,14 @@ def main() -> None:
                                             else int(args.demos * 0.2))}
         print(json.dumps({name: results[name]}), flush=True)
         for dc in eval_drop:
-            # score the best checkpoint with one camera DEAD (features
-            # zeroed via camera_mask -- the model.camera_dropout case)
+            # score the best checkpoint with camera(s) DEAD (structurally
+            # absent -- the model.camera_dropout serving case); a tuple
+            # entry drops the whole set jointly
+            dcs = tuple(dc) if isinstance(dc, (tuple, list)) else (dc,)
             r = evaluate(cfg.override(**{
                 "train.ckpt_dir": f"{ckpt_dir}/best"}), split="val",
-                drop_cameras=(dc,))
-            key = f"{name} [dead {dc}]"
+                drop_cameras=dcs)
+            key = f"{name} [dead {'+'.join(dcs)}]"
             results[key] = {"pos_mae_cm": round(r["pos_mae_cm"], 2),
                             "rot_mae_deg": round(r["rot_mae_deg"], 2),
                             "steps": args.steps,
