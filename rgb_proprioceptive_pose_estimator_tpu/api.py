@@ -174,21 +174,45 @@ def evaluate(cfg: Config, ckpt_dir: Optional[str] = None,
     bs = (min(cfg.data.batch_size, len(dataset)) // n_dev) * n_dev
     if bs == 0:
         mesh = pmesh.make_mesh(1)
+        n_dev = 1
         bs = min(cfg.data.batch_size, len(dataset))
     state = jax.device_put(state, pmesh.replicated_sharding(mesh))
-    pipe = HostPipeline(dataset, cfg.data,
-                        sharding=pmesh.batch_sharding(mesh), train=False,
-                        batch_size=bs)
+    use_cache = cfg.data.device_cache and cfg.model.backbone != "none"
+    # data.cache_layout="sharded": cache tiled over the data axis, sampler
+    # constrained per shard, shard_map-local gather (data/cache_shard.py)
+    plan = cache_gather = None
+    n_shards = 1
+    if use_cache and cfg.data.cache_layout == "sharded" and n_dev > 1:
+        from rgb_proprioceptive_pose_estimator_tpu.data.cache_shard import (
+            build_shard_plan,
+        )
+        from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+            make_cache_gather,
+        )
+
+        plan = build_shard_plan(dataset.frames_per_demo(), n_dev)
+        dataset.cache_plan = plan
+        cache_gather = make_cache_gather(mesh, cfg.dist.data_axis)
+        n_shards = n_dev
+    pipe = HostPipeline(
+        dataset, cfg.data, sharding=pmesh.batch_sharding(mesh), train=False,
+        batch_size=bs,
+        shard_of_sample=(plan.shard_of_sample(dataset.sample_demos())
+                         if plan is not None else None),
+        n_shards=n_shards)
     eval_cache = None
-    if cfg.data.device_cache and cfg.model.backbone != "none":
+    if use_cache:
         from rgb_proprioceptive_pose_estimator_tpu.engine.loop import (
             upload_image_cache,
         )
 
+        cache_sh = (pmesh.batch_sharding(mesh) if plan is not None
+                    else pmesh.replicated_sharding(mesh))
         eval_cache = upload_image_cache(dataset, cfg.model.image_size,
-                                        pmesh.replicated_sharding(mesh),
-                                        skip_cameras=drop_cameras)
-    eval_step = make_eval_step(model, cfg.train, drop_camera_idx=drop_idx)
+                                        cache_sh, skip_cameras=drop_cameras,
+                                        plan=plan)
+    eval_step = make_eval_step(model, cfg.train, drop_camera_idx=drop_idx,
+                               cache_gather=cache_gather)
     out = evaluate_pipeline(eval_step, state, pipe, max_batches=max_batches,
                             image_cache=eval_cache)
     out["step"] = got_step

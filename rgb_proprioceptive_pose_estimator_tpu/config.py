@@ -255,6 +255,18 @@ class DataConfig:
     # requires data.augment_device (host-side pixel aug can't run on
     # cached device frames). See docs/DESIGN.md "Device-resident dataset".
     device_cache: bool = False
+    # HBM placement of the device cache across the mesh's data axis:
+    #   "replicated" -- every device holds the full frame set (default;
+    #     capacity capped by ONE chip's HBM, any batch references any
+    #     frame);
+    #   "sharded" -- frames are partitioned across devices at demo
+    #     granularity (data/cache_shard.py): N devices hold N x the
+    #     dataset, the sampler draws each device's sub-batch from its own
+    #     shard (per-shard stratified sampling), and the in-step gather
+    #     stays collective-free (shard_map local take). Resuming a sharded
+    #     run requires the same device count (the sampler stream depends
+    #     on the shard partition).
+    cache_layout: str = "replicated"
 
     def __post_init__(self):
         _check_enum("data.source", self.source, ("synthetic", "hdf5"))
@@ -288,6 +300,12 @@ class DataConfig:
         if self.device_cache and self.source != "hdf5":
             raise ValueError("data.device_cache applies to the hdf5 image "
                              "source only")
+        _check_enum("data.cache_layout", self.cache_layout,
+                    ("replicated", "sharded"))
+        if self.cache_layout == "sharded" and not self.device_cache:
+            raise ValueError(
+                "data.cache_layout='sharded' shards the device-resident "
+                "frame cache; it requires data.device_cache=True")
         if self.max_demos < 0:
             raise ValueError(
                 f"data.max_demos must be >= 0, got {self.max_demos}")

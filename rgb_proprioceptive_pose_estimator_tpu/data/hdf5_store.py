@@ -142,6 +142,10 @@ class HDF5DemoStore:
         # data.device_cache: get_batch emits int32 frame indices instead of
         # pixel arrays (set by data/pipeline.build_dataset)
         self.emit_image_indices = False
+        # data.cache_layout="sharded": a CacheShardPlan remapping emitted
+        # indices to shard-local cache rows (set by engine/loop.fit /
+        # api.evaluate when the HBM cache is sharded across the mesh)
+        self.cache_plan = None
         self._aug_kwargs = dict(
             crop_scale=crop_scale, crop_ratio=crop_ratio,
             hflip_prob=hflip_prob,
@@ -460,6 +464,16 @@ class HDF5DemoStore:
     def __len__(self) -> int:
         return len(self._index)
 
+    def frames_per_demo(self) -> np.ndarray:
+        """(n_demos,) frame counts, demo order -- the weights the sharded
+        cache layout bin-packs (data/cache_shard.build_shard_plan)."""
+        return np.diff(self._demo_off)
+
+    def sample_demos(self) -> np.ndarray:
+        """(len(self),) demo index of every sample -- maps samples to
+        cache shards (CacheShardPlan.shard_of_sample)."""
+        return self._index[:, 0]
+
     def proprio_stats(self) -> Tuple[np.ndarray, np.ndarray]:
         """Per-dim (mean, std) of the proprio vectors in THIS split
         (model.proprio_normalize; fit() computes on the train split so the
@@ -507,10 +521,14 @@ class HDF5DemoStore:
             if self.emit_image_indices:
                 # device-resident dataset (data.device_cache): the jitted
                 # step gathers frames from the HBM cache by flat index --
-                # no pixel bytes cross the host->device boundary
-                batch["image_idx"] = (
-                    flat_idx[:, 0] if tf == 1 else flat_idx
-                ).astype(np.int32)
+                # no pixel bytes cross the host->device boundary. Under a
+                # sharded cache (data.cache_layout) the emitted index is
+                # the SHARD-LOCAL row; the sampler guarantees each batch
+                # segment references only its own device's shard
+                fi = flat_idx[:, 0] if tf == 1 else flat_idx
+                if self.cache_plan is not None:
+                    fi = self.cache_plan.local_row_of_frame[fi]
+                batch["image_idx"] = fi.astype(np.int32)
             else:
                 batch["images"] = {
                     cam: self._camera_batch(cam, ci, indices, demos, win,

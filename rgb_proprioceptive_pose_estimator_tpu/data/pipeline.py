@@ -117,7 +117,9 @@ class HostPipeline:
     """Infinite (train) or single-epoch (eval) iterator of device batches."""
 
     def __init__(self, dataset, cfg: DataConfig, sharding=None,
-                 train: bool = True, batch_size: Optional[int] = None):
+                 train: bool = True, batch_size: Optional[int] = None,
+                 shard_of_sample: Optional[np.ndarray] = None,
+                 n_shards: int = 1):
         self.dataset = dataset
         self.cfg = cfg
         self.sharding = sharding
@@ -128,6 +130,38 @@ class HostPipeline:
                 f"dataset size {len(dataset)} < batch size {self.batch_size}")
         self.batches_per_epoch = len(dataset) // self.batch_size
         self.augment = bool(cfg.augment) and train
+
+        # data.cache_layout="sharded": constrain sampling so batch segment
+        # d (the sub-batch NamedSharding places on device d) references
+        # only shard-d samples -- the device-side gather is then local to
+        # each device's cache shard (data/cache_shard.py module docs).
+        self._n_shards = max(int(n_shards), 1)
+        self._samples_by_shard = None
+        if shard_of_sample is not None and self._n_shards > 1:
+            if self.batch_size % self._n_shards != 0:
+                raise ValueError(
+                    f"batch size {self.batch_size} not divisible by "
+                    f"{self._n_shards} cache shards")
+            shard_of_sample = np.asarray(shard_of_sample)
+            if len(shard_of_sample) != len(dataset):
+                raise ValueError(
+                    f"shard_of_sample covers {len(shard_of_sample)} samples "
+                    f"!= dataset size {len(dataset)}")
+            self._samples_by_shard = [
+                np.flatnonzero(shard_of_sample == d)
+                for d in range(self._n_shards)]
+            per = self.batch_size // self._n_shards
+            # an epoch is bounded by the smallest shard (LPT keeps shards
+            # within one demo of each other); per-shard reshuffles rotate
+            # any dropped tail across epochs
+            self.batches_per_epoch = min(
+                len(s) for s in self._samples_by_shard) // per
+            if self.batches_per_epoch < 1:
+                raise ValueError(
+                    "smallest cache shard has "
+                    f"{min(len(s) for s in self._samples_by_shard)} samples "
+                    f"< {per} per-device batch; reduce data.batch_size or "
+                    "device count (data.cache_layout='sharded')")
 
         self._consumed = 0            # global batch counter (checkpoint state)
         self._scheduled = 0
@@ -151,7 +185,9 @@ class HostPipeline:
         the same (identical) permutation once."""
         perm = self._perm_cache.get(epoch)
         if perm is None:
-            if self.train and self.cfg.shuffle:
+            if self._samples_by_shard is not None:
+                perm = self._sharded_perm(epoch)
+            elif self.train and self.cfg.shuffle:
                 perm = np.random.RandomState(
                     (self.cfg.seed + epoch) % (2 ** 31 - 1)
                 ).permutation(len(self.dataset))
@@ -163,6 +199,28 @@ class HostPipeline:
                                 if k >= epoch - 1}
             self._perm_cache[epoch] = perm
         return perm
+
+    def _sharded_perm(self, epoch: int) -> np.ndarray:
+        """Epoch index stream for the sharded cache layout: every shard's
+        samples permuted independently (distinct deterministic stream per
+        (seed, epoch, shard)), truncated to the epoch's per-shard sample
+        count, and interleaved shard-major so _indices_for's contiguous
+        batch slice comes out segment-aligned: batch row block d = shard
+        d's next `per` samples. Eval pipelines (no shuffle) interleave the
+        natural per-shard order -- deterministic, full min-shard coverage."""
+        per = self.batch_size // self._n_shards
+        e = self.batches_per_epoch
+        cols = []
+        for d, samp in enumerate(self._samples_by_shard):
+            if self.train and self.cfg.shuffle:
+                rs = np.random.RandomState(
+                    ((self.cfg.seed + epoch) * 9_973 + d) % (2 ** 31 - 1))
+                samp = rs.permutation(samp)
+            cols.append(samp[:e * per])
+        return (np.stack(cols)                      # (D, e*per)
+                .reshape(self._n_shards, e, per)
+                .transpose(1, 0, 2)                 # (e, D, per)
+                .reshape(-1))
 
     def _indices_for(self, global_batch: int) -> np.ndarray:
         epoch, pos = divmod(global_batch, self.batches_per_epoch)
@@ -275,7 +333,11 @@ class HostPipeline:
     def state_dict(self) -> Dict[str, Any]:
         return {"format": self.STATE_FORMAT, "consumed": int(self._consumed),
                 "seed": int(self.cfg.seed),
-                "batch_size": int(self.batch_size)}
+                "batch_size": int(self.batch_size),
+                # sharded cache layout: the index stream depends on the
+                # shard partition, which depends on the device count
+                "n_shards": (self._n_shards
+                             if self._samples_by_shard is not None else 1)}
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
         fmt = int(state.get("format", 1))
@@ -291,6 +353,16 @@ class HostPipeline:
                 f"cannot resume: checkpoint sampler seed {saved_seed} != "
                 f"config data.seed {self.cfg.seed} (the consumed-batch "
                 "counter only makes sense within one permutation stream)")
+        cur_shards = (self._n_shards
+                      if self._samples_by_shard is not None else 1)
+        saved_shards = int(state.get("n_shards", 1))
+        if saved_shards != cur_shards:
+            raise ValueError(
+                f"cannot resume: checkpoint sampler used {saved_shards} "
+                f"cache shard(s), this run has {cur_shards} -- the sharded "
+                "cache index stream depends on the device count "
+                "(data.cache_layout='sharded'); resume on the same mesh "
+                "size or start a fresh run")
         self._consumed = int(state["consumed"])
         self._reset()
 

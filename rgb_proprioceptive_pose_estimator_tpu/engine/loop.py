@@ -27,6 +27,7 @@ from rgb_proprioceptive_pose_estimator_tpu.engine.state import (
 from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
     frozen_prefixes_for,
     make_bn_recal_step,
+    make_cache_gather,
     make_eval_step,
     make_lr_schedule,
     make_optimizer,
@@ -63,27 +64,45 @@ def _device_cache_budget() -> int:
 
 def upload_image_cache(store, hw: int, sharding,
                        budget_bytes: int = 0,
-                       skip_cameras=()) -> Dict[str, jax.Array]:
+                       skip_cameras=(), plan=None) -> Dict[str, jax.Array]:
     """data.device_cache: build the deterministic resize cache and place it
-    on the mesh (replicated). Errors before OOM-ing the device; the budget
-    derives from the device's own memory_stats (ADVICE r2 -- a hard-coded
-    limit both rejects viable runs on big chips and passes doomed ones on
-    small), overridable via `budget_bytes`.
+    on the mesh. Errors before OOM-ing the device; the budget derives from
+    the device's own memory_stats (ADVICE r2 -- a hard-coded limit both
+    rejects viable runs on big chips and passes doomed ones on small),
+    overridable via `budget_bytes`.
 
     skip_cameras: cameras excluded from the upload (and the budget) --
     evaluate(drop_cameras=...) scores them dead, so caching their frames
     would waste HBM and upload time; the step's gather then never
-    materializes them either (gather_cached_images iterates cache keys)."""
-    arrs = store.build_resized_cache(hw)
-    arrs = {c: a for c, a in arrs.items() if c not in set(skip_cameras)}
+    materializes them either (gather_cached_images iterates cache keys).
+
+    plan (CacheShardPlan, data.cache_layout="sharded"): frames are laid out
+    shard-contiguously and `sharding` must tile the row axis across the
+    mesh's data axis (pmesh.batch_sharding) -- each device then holds and
+    budgets only its own shard, multiplying cache capacity by the device
+    count. Default (plan=None): full copy per device, `sharding`
+    replicated."""
+    skip = set(skip_cameras)
+    if plan is None:
+        arrs = store.build_resized_cache(hw)
+    else:
+        from rgb_proprioceptive_pose_estimator_tpu.data.cache_shard import (
+            build_sharded_cache,
+        )
+
+        arrs = build_sharded_cache(store, hw, plan)
+    arrs = {c: a for c, a in arrs.items() if c not in skip}
     total = sum(a.nbytes for a in arrs.values())
+    per_device = total if plan is None else total // plan.n_shards
     budget = budget_bytes or _device_cache_budget()
-    if total > budget:
+    if per_device > budget:
         raise ValueError(
-            f"data.device_cache: resized frames need {total / 1e9:.1f} GB "
-            f"of HBM > {budget / 1e9:.1f} GB budget (75% of device "
-            "capacity; excludes model/optimizer/activation memory); use "
-            "the host pipeline for datasets this size")
+            f"data.device_cache: resized frames need {per_device / 1e9:.1f} "
+            f"GB of HBM per device > {budget / 1e9:.1f} GB budget (75% of "
+            "device capacity; excludes model/optimizer/activation memory); "
+            + ("use the host pipeline for datasets this size" if plan
+               else "try data.cache_layout='sharded' on a multi-device "
+                    "mesh, or the host pipeline"))
     return {cam: jax.device_put(a, sharding) for cam, a in arrs.items()}
 
 
@@ -205,7 +224,36 @@ def fit(cfg: Config) -> Dict[str, Any]:
         state = state.replace(batch_stats=bs)
         state = jax.device_put(state, rsh)
     eval_ds = build_dataset(cfg, split="val") if has_val else dataset
-    train_pipe = HostPipeline(dataset, cfg.data, sharding=bsh, train=True)
+
+    # data.cache_layout="sharded": partition the HBM frame cache across the
+    # mesh at demo granularity (data/cache_shard.py) -- the plan must exist
+    # before the pipelines (the sampler constrains batch segment d to
+    # shard-d samples) and before the store emits indices (shard-local rows)
+    use_cache = (cfg.data.device_cache and cfg.model.backbone != "none"
+                 and cfg.data.source == "hdf5")
+    sharded_cache = use_cache and cfg.data.cache_layout == "sharded"
+    train_plan = eval_plan = None
+    if sharded_cache:
+        from rgb_proprioceptive_pose_estimator_tpu.data.cache_shard import (
+            build_shard_plan,
+        )
+
+        train_plan = build_shard_plan(dataset.frames_per_demo(), n_dev)
+        dataset.cache_plan = train_plan
+        if eval_ds is dataset:
+            eval_plan = train_plan
+        else:
+            eval_plan = build_shard_plan(eval_ds.frames_per_demo(), n_dev)
+            eval_ds.cache_plan = eval_plan
+
+    def _shard_args(ds, plan):
+        if plan is None:
+            return {}
+        return {"shard_of_sample": plan.shard_of_sample(ds.sample_demos()),
+                "n_shards": n_dev}
+
+    train_pipe = HostPipeline(dataset, cfg.data, sharding=bsh, train=True,
+                              **_shard_args(dataset, train_plan))
     # eval batch shrinks to the held-out split if it is small (still a
     # multiple of the device count for sharding)
     eval_bs = min(cfg.data.batch_size, (len(eval_ds) // n_dev) * n_dev)
@@ -214,7 +262,8 @@ def fit(cfg: Config) -> Dict[str, Any]:
             f"val split has {len(eval_ds)} samples < {n_dev} devices; "
             "increase data.val_fraction or reduce dist.num_devices")
     eval_pipe = HostPipeline(eval_ds, cfg.data, sharding=bsh, train=False,
-                             batch_size=eval_bs)
+                             batch_size=eval_bs,
+                             **_shard_args(eval_ds, eval_plan))
 
     ckpt = CheckpointManager(tcfg.ckpt_dir, keep=tcfg.ckpt_keep)
     best_ckpt = None
@@ -296,26 +345,33 @@ def fit(cfg: Config) -> Dict[str, Any]:
                     f"train.{name}={v} must be a multiple of "
                     f"train.steps_per_call={spc}")
     train_cache = eval_cache = None
-    if (cfg.data.device_cache and cfg.model.backbone != "none"
-            and cfg.data.source == "hdf5"):
+    cache_gather = None
+    if use_cache:
+        # sharded layout: rows tiled over the data axis (same P('data')
+        # spec as the batch), gathered by a shard_map-local take
+        cache_sh = bsh if sharded_cache else rsh
+        if sharded_cache:
+            cache_gather = make_cache_gather(mesh, cfg.dist.data_axis)
         hw_train = (cfg.model.image_size + 2 * cfg.data.crop_margin
                     if device_aug is not None else cfg.model.image_size)
-        train_cache = upload_image_cache(dataset, hw_train, rsh)
+        train_cache = upload_image_cache(dataset, hw_train, cache_sh,
+                                         plan=train_plan)
         if eval_ds is dataset and hw_train == cfg.model.image_size:
             eval_cache = train_cache
         else:
             eval_cache = upload_image_cache(eval_ds, cfg.model.image_size,
-                                            rsh)
+                                            cache_sh, plan=eval_plan)
     train_step = make_train_step(model, tx, tcfg, device_aug=device_aug,
-                                 unroll=spc)
-    eval_step = make_eval_step(model, tcfg)
+                                 unroll=spc, cache_gather=cache_gather)
+    eval_step = make_eval_step(model, tcfg, cache_gather=cache_gather)
     lr_schedule = make_lr_schedule(tcfg)
     # train.ema_bn_recal_batches: BN stats re-estimated for the serving
     # (EMA) weights before evals and the final save (no-op for BN-free
     # models -- empty batch_stats short-circuits in _recal_state)
     recal_step = None
     if tcfg.ema_bn_recal_batches > 0 and jax.tree.leaves(state.batch_stats):
-        recal_step = make_bn_recal_step(model, tcfg, device_aug=device_aug)
+        recal_step = make_bn_recal_step(model, tcfg, device_aug=device_aug,
+                                        cache_gather=cache_gather)
 
     def _recal_state(s: TrainState) -> TrainState:
         """State whose batch_stats match the eval-serving params; consumes

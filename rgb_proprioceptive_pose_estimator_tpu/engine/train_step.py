@@ -159,13 +159,44 @@ def gather_cached_images(image_cache: Dict[str, jax.Array], batch):
     return out
 
 
+def make_cache_gather(mesh, axis: str) -> Callable:
+    """Gather for the SHARDED device cache (data.cache_layout="sharded",
+    data/cache_shard.py): the cache's row axis is sharded on `axis` and the
+    batch's image_idx carries SHARD-LOCAL rows (the sampler constrains
+    batch segment d to device d's shard), so the correct program is a
+    shard_map-local take -- zero collectives, identical per-device work to
+    the replicated gather. A plain jnp.take here would be wrong: under SPMD
+    XLA treats indices as global rows of the full (sharded) array and
+    inserts cross-device traffic the index stream never needs."""
+    from jax.sharding import PartitionSpec as P
+
+    def _take(arr, idx):
+        return jnp.take(arr, idx, axis=0)
+
+    local_take = jax.shard_map(_take, mesh=mesh,
+                               in_specs=(P(axis), P(axis)),
+                               out_specs=P(axis))
+
+    def gather(image_cache: Dict[str, jax.Array], batch):
+        idx = batch["image_idx"]
+        out = dict(batch)
+        del out["image_idx"]
+        out["images"] = {cam: local_take(arr, idx)
+                         for cam, arr in image_cache.items()}
+        return out
+
+    return gather
+
+
 def make_train_step(model, tx: optax.GradientTransformation,
                     cfg: TrainConfig,
                     device_aug: Optional[Dict[str, Any]] = None,
-                    unroll: int = 1) -> Callable:
+                    unroll: int = 1,
+                    cache_gather: Optional[Callable] = None) -> Callable:
     """See _make_train_step; applies cfg.compiler_opts (backend-filtered)."""
     return _make_train_step(
         model, tx, cfg, device_aug=device_aug, unroll=unroll,
+        cache_gather=cache_gather,
         compiler_options=filter_compiler_options(cfg.compiler_opts))
 
 
@@ -173,6 +204,7 @@ def _make_train_step(model, tx: optax.GradientTransformation,
                      cfg: TrainConfig,
                      device_aug: Optional[Dict[str, Any]] = None,
                      unroll: int = 1,
+                     cache_gather: Optional[Callable] = None,
                      compiler_options: Optional[Dict[str, str]] = None
                      ) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, metrics).
@@ -193,7 +225,12 @@ def _make_train_step(model, tx: optax.GradientTransformation,
     `image_cache` is the device-resident frame cache (data.device_cache),
     passed as a TRACED ARGUMENT -- closure-capturing it would embed the
     whole dataset as an HLO constant (rejected by remote compilers past
-    ~100 MB and bloating every executable)."""
+    ~100 MB and bloating every executable).
+
+    `cache_gather` overrides the gather used on that cache (default:
+    gather_cached_images, correct for the replicated layout); the sharded
+    cache layout passes make_cache_gather's shard_map-local take."""
+    do_gather = cache_gather or gather_cached_images
 
     def loss_fn(params, batch_stats, batch, dropout_key):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -210,7 +247,7 @@ def _make_train_step(model, tx: optax.GradientTransformation,
     def step(state: TrainState, batch, image_cache=None
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         if image_cache is not None and "image_idx" in batch:
-            batch = gather_cached_images(image_cache, batch)
+            batch = do_gather(image_cache, batch)
         if device_aug is not None:
             from rgb_proprioceptive_pose_estimator_tpu.ops.image_augment_device import (
                 augment_batch_images,
@@ -310,7 +347,8 @@ def stack_microbatches(batches, sharding=None) -> Any:
 
 
 def make_bn_recal_step(model, cfg: TrainConfig,
-                       device_aug: Optional[Dict[str, Any]] = None
+                       device_aug: Optional[Dict[str, Any]] = None,
+                       cache_gather: Optional[Callable] = None
                        ) -> Callable:
     """BatchNorm-recalibration step (the torch `swa_utils.update_bn`
     recipe, for train.ema_decay): BN running statistics track the RAW
@@ -322,9 +360,11 @@ def make_bn_recal_step(model, cfg: TrainConfig,
     raw) and returns only the updated batch_stats; the caller threads
     stats across batches. No gradients, no optimizer."""
 
+    do_gather = cache_gather or gather_cached_images
+
     def step(params, batch_stats, rng, salt, batch, image_cache=None):
         if image_cache is not None and "image_idx" in batch:
-            batch = gather_cached_images(image_cache, batch)
+            batch = do_gather(image_cache, batch)
         if device_aug is not None:
             from rgb_proprioceptive_pose_estimator_tpu.ops.image_augment_device import (
                 augment_batch_images,
@@ -378,7 +418,8 @@ def recalibrate_batch_stats(recal_step, state: TrainState, pipeline,
 
 
 def make_eval_step(model, cfg: TrainConfig,
-                   drop_camera_idx: Sequence[int] = ()) -> Callable:
+                   drop_camera_idx: Sequence[int] = (),
+                   cache_gather: Optional[Callable] = None) -> Callable:
     """Jitted eval step: frozen BN running stats, no augmentation
     (SURVEY.md section 4.2); returns loss components + cm/deg MAE.
     Signature (state, batch, image_cache=None) -- see make_train_step on
@@ -391,11 +432,12 @@ def make_eval_step(model, cfg: TrainConfig,
     dead camera's encoder forward is skipped entirely. Used by
     api.evaluate(drop_cameras=...)."""
     drop_names = frozenset(model.cfg.cameras[i] for i in drop_camera_idx)
+    do_gather = cache_gather or gather_cached_images
 
     def step(state: TrainState, batch, image_cache=None
              ) -> Dict[str, jax.Array]:
         if image_cache is not None and "image_idx" in batch:
-            batch = gather_cached_images(image_cache, batch)
+            batch = do_gather(image_cache, batch)
         if drop_names and "images" in batch:
             batch = dict(batch, images={
                 k: v for k, v in batch["images"].items()
