@@ -43,6 +43,15 @@ def train(cfg: Config) -> Dict[str, Any]:
 
 def _restore(cfg: Config, ckpt_dir: Optional[str],
              step: Union[int, str, None]):
+    if cfg.train.compile_cache_dir:
+        # evaluate()/Predictor in a fresh process re-pay the jit compile of
+        # the eval/predict graphs; the same persistent cache fit() uses
+        # (train.compile_cache_dir) elides it
+        from rgb_proprioceptive_pose_estimator_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache(cfg.train.compile_cache_dir)
     model = build_model(cfg.model)
     # same freeze mask as fit(): optax.masked changes the opt-state tree,
     # so the restore template must match the training-time structure

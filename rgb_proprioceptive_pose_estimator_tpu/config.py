@@ -424,6 +424,22 @@ class TrainConfig:
     # must match. Ignored when ckpt_dir already holds a checkpoint: a
     # preempted run resumes its own state rather than re-applying the init.
     init_from: str = ""
+    # graceful-preemption handling: when the process receives SIGTERM (the
+    # signal cloud schedulers send before reclaiming a preemptible TPU VM,
+    # typically with a ~30 s grace window), finish the in-flight step, save
+    # a checkpoint at that exact step, and return cleanly with
+    # metrics["preempted_at"]; train.resume="auto" then continues from it.
+    # SIGINT (Ctrl-C) is deliberately NOT caught so a hung run can still be
+    # aborted. Only installed when fit() runs on the main thread (Python
+    # restricts signal handlers to it); the previous handler is restored
+    # on exit.
+    save_on_signal: bool = True
+    # persistent XLA compilation cache directory ("" = off): compiled train/
+    # eval steps are reused across process restarts -- a preempted-and-
+    # resumed run (save_on_signal above) skips the 20-40 s TPU recompile.
+    # Backed by jax_compilation_cache_dir; shared across runs and safe to
+    # point at one machine-wide directory.
+    compile_cache_dir: str = ""
     metrics_path: str = ""         # JSONL metrics file ("" = ckpt_dir/metrics.jsonl)
     tensorboard: bool = False
     debug_nans: bool = False       # jax_debug_nans mode (SURVEY.md section 6.2)

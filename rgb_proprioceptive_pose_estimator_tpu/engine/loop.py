@@ -8,6 +8,8 @@ are fetched only at log points, checkpoints are async.
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -180,6 +182,12 @@ def fit(cfg: Config) -> Dict[str, Any]:
     tcfg = cfg.train
     if tcfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if tcfg.compile_cache_dir:
+        from rgb_proprioceptive_pose_estimator_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache(tcfg.compile_cache_dir)
 
     pmesh.init_distributed(cfg.dist)
     mesh = pmesh.make_mesh(cfg.dist.num_devices, cfg.dist.data_axis)
@@ -405,111 +413,150 @@ def fit(cfg: Config) -> Dict[str, Any]:
         raise ValueError(
             f"resume step {start_step} leaves {tcfg.steps - start_step} "
             f"steps, not a multiple of train.steps_per_call={spc}")
+    # graceful preemption (train.save_on_signal): SIGTERM -- what cloud
+    # schedulers send before reclaiming a preemptible VM -- sets a flag;
+    # the loop finishes the in-flight step, checkpoints it, and returns.
+    # Python only allows signal handlers on the main thread; background-
+    # thread fit() calls (tests, notebooks) skip installation. SIGINT is
+    # left alone so Ctrl-C can still abort a hung compile.
+    preempted_at: Optional[int] = None
+    preempt_signum: Optional[int] = None
+
+    def _on_sigterm(signum, frame):
+        nonlocal preempt_signum
+        preempt_signum = signum
+
+    sig_installed = (tcfg.save_on_signal
+                     and threading.current_thread()
+                     is threading.main_thread())
+    prev_sigterm = (signal.signal(signal.SIGTERM, _on_sigterm)
+                    if sig_installed else None)
     log_anchor = start_step           # step at which t_log was last reset
     t_log = time.perf_counter()
-    for step_i in range(start_step, tcfg.steps, spc):
-        if spc == 1:
-            batch = next(train_pipe)
-            state, m = train_step(state, batch, train_cache)
-        else:
-            micro = [next(train_pipe) for _ in range(spc)]
-            state, m = train_step(state, stack_microbatches(micro, bsh),
-                                  train_cache)
-            m = jax.tree.map(lambda a: a[-1], m)  # last microstep's metrics
+    try:
+        for step_i in range(start_step, tcfg.steps, spc):
+            if spc == 1:
+                batch = next(train_pipe)
+                state, m = train_step(state, batch, train_cache)
+            else:
+                micro = [next(train_pipe) for _ in range(spc)]
+                state, m = train_step(state, stack_microbatches(micro, bsh),
+                                      train_cache)
+                m = jax.tree.map(lambda a: a[-1], m)  # last microstep's metrics
 
-        step1 = step_i + spc
-        if step_i == start_step and tcfg.log_every > 1:
-            # exclude the train-step compile from the first throughput
-            # window (ADVICE r1): sync on a real value (device_get stays
-            # honest on proxy backends), then restart the timer. Skipped
-            # for log_every=1, where resetting the anchor to the current
-            # step would leave a zero-step window.
-            float(jax.device_get(m["loss"]))
-            t_log = time.perf_counter()
-            log_anchor = step1
-        tracer.on_step(step1, sync=m["loss"])
-        if step1 % tcfg.log_every == 0 or step1 == tcfg.steps:
-            m = jax.device_get(m)          # forces device sync at log points
-            now = time.perf_counter()
-            dt = now - t_log
-            t_log = now
-            steps_done = max(step1 - log_anchor, 1)
-            log_anchor = step1
-            imgs = cfg.data.batch_size * steps_done
-            last_metrics = {k: float(v) for k, v in m.items()}
-            last_metrics.update({
-                "images_per_sec": imgs / dt,
-                "images_per_sec_per_chip": imgs / dt / n_dev,
-                "host_queue_depth": train_pipe.queue_depth(),
-                "lr": float(lr_schedule(step1 // max(tcfg.grad_accum, 1))),
-            })
-            logger.log(step1, last_metrics, prefix="train/")
+            step1 = step_i + spc
+            if step_i == start_step and tcfg.log_every > 1:
+                # exclude the train-step compile from the first throughput
+                # window (ADVICE r1): sync on a real value (device_get stays
+                # honest on proxy backends), then restart the timer. Skipped
+                # for log_every=1, where resetting the anchor to the current
+                # step would leave a zero-step window.
+                float(jax.device_get(m["loss"]))
+                t_log = time.perf_counter()
+                log_anchor = step1
+            tracer.on_step(step1, sync=m["loss"])
+            if step1 % tcfg.log_every == 0 or step1 == tcfg.steps:
+                m = jax.device_get(m)          # forces device sync at log points
+                now = time.perf_counter()
+                dt = now - t_log
+                t_log = now
+                steps_done = max(step1 - log_anchor, 1)
+                log_anchor = step1
+                imgs = cfg.data.batch_size * steps_done
+                last_metrics = {k: float(v) for k, v in m.items()}
+                last_metrics.update({
+                    "images_per_sec": imgs / dt,
+                    "images_per_sec_per_chip": imgs / dt / n_dev,
+                    "host_queue_depth": train_pipe.queue_depth(),
+                    "lr": float(lr_schedule(step1 // max(tcfg.grad_accum, 1))),
+                })
+                logger.log(step1, last_metrics, prefix="train/")
 
-        if tcfg.eval_every and (step1 % tcfg.eval_every == 0
-                                or step1 == tcfg.steps):
-            # rotate partial eval windows across the split: pass k starts at
-            # batch k*eval_steps (mod split size), deterministic in step1 so
-            # resume replays the same windows (VERDICT r1 weak-5)
-            eval_start = (step1 // tcfg.eval_every) * max(tcfg.eval_steps, 0)
-            eval_state = _recal_state(state)
-            em = evaluate_pipeline(eval_step, eval_state, eval_pipe,
-                                   max_batches=tcfg.eval_steps,
-                                   start=eval_start,
-                                   image_cache=eval_cache)
-            logger.log(step1, em, prefix="eval/")
-            last_metrics.update({f"eval_{k}": v for k, v in em.items()})
-            if best_ckpt is not None:
-                v = em.get(tcfg.ckpt_best_metric)
-                if v is None:
-                    raise KeyError(
-                        f"ckpt_best_metric {tcfg.ckpt_best_metric!r} not in "
-                        f"eval metrics {sorted(em)}")
-                if v < best_val:
-                    best_val = v
-                    if best_ckpt.latest_step() == step1:
-                        # resumed past an eval step already recorded as best
-                        best_ckpt.delete(step1)
-                    # eval_state: with BN recal on, the best checkpoint
-                    # ships stats matched to the weights it serves
-                    best_ckpt.save(
-                        step1, eval_state,
-                        data_state={"best_val": float(v),
-                                    **train_pipe.state_dict()})
-            if tcfg.early_stop_patience:
-                v = em.get(es_metric)
-                if v is None:
-                    raise KeyError(
-                        f"early-stop metric {es_metric!r} not in eval "
-                        f"metrics {sorted(em)}")
-                if float(v) < es_best - tcfg.early_stop_min_delta:
-                    es_best = float(v)
-                    es_stale = 0
-                elif (es_stale := es_stale + 1) >= tcfg.early_stop_patience:
-                    stopped_at = step1
-            # don't bill eval time to train throughput
-            t_log = time.perf_counter()
-            log_anchor = step1
+            if tcfg.eval_every and (step1 % tcfg.eval_every == 0
+                                    or step1 == tcfg.steps):
+                # rotate partial eval windows across the split: pass k starts at
+                # batch k*eval_steps (mod split size), deterministic in step1 so
+                # resume replays the same windows (VERDICT r1 weak-5)
+                eval_start = (step1 // tcfg.eval_every) * max(tcfg.eval_steps, 0)
+                eval_state = _recal_state(state)
+                em = evaluate_pipeline(eval_step, eval_state, eval_pipe,
+                                       max_batches=tcfg.eval_steps,
+                                       start=eval_start,
+                                       image_cache=eval_cache)
+                logger.log(step1, em, prefix="eval/")
+                last_metrics.update({f"eval_{k}": v for k, v in em.items()})
+                if best_ckpt is not None:
+                    v = em.get(tcfg.ckpt_best_metric)
+                    if v is None:
+                        raise KeyError(
+                            f"ckpt_best_metric {tcfg.ckpt_best_metric!r} not in "
+                            f"eval metrics {sorted(em)}")
+                    if v < best_val:
+                        best_val = v
+                        if best_ckpt.latest_step() == step1:
+                            # resumed past an eval step already recorded as best
+                            best_ckpt.delete(step1)
+                        # eval_state: with BN recal on, the best checkpoint
+                        # ships stats matched to the weights it serves
+                        best_ckpt.save(
+                            step1, eval_state,
+                            data_state={"best_val": float(v),
+                                        **train_pipe.state_dict()})
+                if tcfg.early_stop_patience:
+                    v = em.get(es_metric)
+                    if v is None:
+                        raise KeyError(
+                            f"early-stop metric {es_metric!r} not in eval "
+                            f"metrics {sorted(em)}")
+                    if float(v) < es_best - tcfg.early_stop_min_delta:
+                        es_best = float(v)
+                        es_stale = 0
+                    elif (es_stale := es_stale + 1) >= tcfg.early_stop_patience:
+                        stopped_at = step1
+                # don't bill eval time to train throughput
+                t_log = time.perf_counter()
+                log_anchor = step1
 
-        if tcfg.ckpt_every and step1 % tcfg.ckpt_every == 0:
-            if step1 in preexisting_steps:
-                # explicit-step resume re-walks steps a previous run already
-                # checkpointed; orbax refuses duplicate steps (ADVICE r1)
-                ckpt.delete(step1)
-                preexisting_steps.discard(step1)
-            ckpt.save(step1, state, data_state=train_pipe.state_dict())
-            last_saved = step1
+            if tcfg.ckpt_every and step1 % tcfg.ckpt_every == 0:
+                if step1 in preexisting_steps:
+                    # explicit-step resume re-walks steps a previous run already
+                    # checkpointed; orbax refuses duplicate steps (ADVICE r1)
+                    ckpt.delete(step1)
+                    preexisting_steps.discard(step1)
+                ckpt.save(step1, state, data_state=train_pipe.state_dict())
+                last_saved = step1
 
-        if stopped_at is not None:
-            last_metrics["early_stopped_at"] = float(stopped_at)
-            break
+            if stopped_at is not None:
+                last_metrics["early_stopped_at"] = float(stopped_at)
+                break
 
+            if preempt_signum is not None:
+                # the step that was in flight when the signal arrived is
+                # complete; save exactly here (the final-save block below)
+                # so resume="auto" loses zero work
+                preempted_at = step1
+                last_metrics["preempted_at"] = float(step1)
+                logger.log(step1, {"preempted_at": float(step1)},
+                           prefix="train/")
+                break
+    finally:
+        if sig_installed:
+            signal.signal(signal.SIGTERM, prev_sigterm)
     # final save at the last step actually run (== tcfg.steps unless early
     # stopping broke out). Skip when the cadence already saved this step
     # (the save may still be async-in-flight -- a second save would
     # collide) and when resuming an already-completed run (the step exists
     # on disk).
-    final_step = stopped_at if stopped_at is not None else tcfg.steps
-    if recal_step is not None and start_step < final_step:
+    final_step = tcfg.steps
+    if stopped_at is not None:
+        final_step = stopped_at
+    elif preempted_at is not None:
+        final_step = preempted_at
+    # BN recal is skipped on preemption: the checkpoint is a resume point,
+    # not a serving artifact, and the grace window is for saving, not for
+    # ema_bn_recal_batches of extra forward passes.
+    if (recal_step is not None and start_step < final_step
+            and preempted_at is None):
         # ship serving-matched BN stats in the final state/checkpoint
         # (earlier cadence checkpoints keep raw training stats; a resume
         # re-adapts the running averages within ~1/(1-momentum) batches
