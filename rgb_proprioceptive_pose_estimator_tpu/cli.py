@@ -213,7 +213,7 @@ def main(argv=None) -> int:
     ap.add_argument("command",
                     choices=["train", "eval", "predict", "export", "config",
                              "presets", "info", "inspect", "curves",
-                             "render"])
+                             "render", "serve"])
     ap.add_argument("--preset", default="pr1", choices=sorted(PRESETS))
     ap.add_argument("--config", default="", help="JSON config file")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
@@ -276,6 +276,13 @@ def main(argv=None) -> int:
                     help="curves: metrics file (default "
                          "<train.ckpt_dir>/metrics.jsonl or "
                          "train.metrics_path)")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="serve: bind address (0.0.0.0 exposes the daemon "
+                         "beyond this host)")
+    ap.add_argument("--port", type=int, default=8080,
+                    help="serve: TCP port (0 = pick a free one)")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="serve: skip the pre-compile warmup call")
     ap.add_argument("--sample", default="", metavar="PNG",
                     help="inspect: also write a decoded sample-frame grid "
                          "(first frame per camera x up to 4 demos) -- "
@@ -491,6 +498,27 @@ def main(argv=None) -> int:
                           "bytes": os.path.getsize(path),
                           "max_batch": args.max_batch,
                           "quantize": args.quantize}))
+        return 0
+
+    if args.command == "serve":
+        # HTTP pose daemon over api.Predictor (utils/serve.py): the
+        # predict() surface for robot stacks that are not in-process
+        # Python. --max-batch bounds the compiled batch shape.
+        from rgb_proprioceptive_pose_estimator_tpu.utils.serve import serve
+
+        httpd, service = serve(cfg, host=args.host, port=args.port,
+                               ckpt_dir=args.ckpt_dir or None,
+                               step=ckpt_step, max_batch=args.max_batch,
+                               warmup=not args.no_warmup)
+        print(json.dumps({"serving": f"http://{httpd.server_address[0]}:"
+                                     f"{httpd.server_address[1]}",
+                          **service.health()}), flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
         return 0
 
     if args.command == "predict":
