@@ -213,7 +213,7 @@ def main(argv=None) -> int:
     ap.add_argument("command",
                     choices=["train", "eval", "predict", "export", "config",
                              "presets", "info", "inspect", "curves",
-                             "render", "serve"])
+                             "render", "serve", "repack"])
     ap.add_argument("--preset", default="pr1", choices=sorted(PRESETS))
     ap.add_argument("--config", default="", help="JSON config file")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
@@ -230,7 +230,8 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="",
                     help="output path -- export: artifact (default "
                          "pose.rppe); render: rendered file (default "
-                         "rendered.hdf5); curves: figure (default "
+                         "rendered.hdf5); repack: repacked file (default "
+                         "repacked.hdf5); curves: figure (default "
                          "curves.png)")
     ap.add_argument("--max-batch", type=int, default=8,
                     help="export: compiled batch size of the artifact")
@@ -259,7 +260,12 @@ def main(argv=None) -> int:
     ap.add_argument("--src", default="", metavar="HDF5",
                     help="render: state-playback demo file(s) "
                          "(robosuite layout: data/demo_N/states + "
-                         "model_file attr)")
+                         "model_file attr); repack: image-bearing demo "
+                         "file(s) to resize/re-encode")
+    ap.add_argument("--size", type=int, default=0,
+                    help="repack: output image resolution (0 = "
+                         "model.image_size; pass image_size + "
+                         "2*crop_margin to keep device-aug headroom)")
     ap.add_argument("--target-body", default="cube",
                     help="render: MuJoCo body whose world pose becomes "
                          "obs/object")
@@ -267,11 +273,11 @@ def main(argv=None) -> int:
                     help="render: MuJoCo site as the pose target instead "
                          "of --target-body (end-effector grip sites)")
     ap.add_argument("--max-demos", type=int, default=0,
-                    help="render: cap demos per file (0 = all)")
+                    help="render/repack: cap demos per file (0 = all)")
     ap.add_argument("--encode", default="raw",
                     choices=["raw", "jpeg", "png"],
-                    help="render: image storage (jpeg/png = per-frame "
-                         "vlen bytes, ~10x smaller at 224px)")
+                    help="render/repack: image storage (jpeg/png = "
+                         "per-frame vlen bytes, ~10x smaller at 224px)")
     ap.add_argument("--metrics", default="", metavar="JSONL",
                     help="curves: metrics file (default "
                          "<train.ckpt_dir>/metrics.jsonl or "
@@ -417,6 +423,65 @@ def main(argv=None) -> int:
         summary["next"] = (f"train with data.path={','.join(outs)} "
                            "data.proprio_key=obs/qpos,obs/qvel "
                            "data.target_key=obs/object")
+        print(json.dumps(summary))
+        return 0
+
+    if args.command == "repack":
+        # offline resize/re-encode (data/repack.py): pay the deterministic
+        # resize ONCE instead of at every run's device-cache build; --size
+        # defaults to model.image_size (pass crop headroom explicitly for
+        # the device-aug path). Non-image obs keys copy through verbatim.
+        import os
+
+        from rgb_proprioceptive_pose_estimator_tpu.data.hdf5_store import (
+            expand_paths,
+        )
+        from rgb_proprioceptive_pose_estimator_tpu.data.repack import (
+            repack_file,
+        )
+
+        if not args.src:
+            raise SystemExit("repack requires --src (demo file(s); comma "
+                             "lists and globs accepted)")
+        try:
+            srcs = expand_paths(args.src)
+        except (FileNotFoundError, ValueError) as e:
+            raise SystemExit(str(e).replace("data.path", "--src"))
+        size = args.size or cfg.model.image_size
+        kw = dict(cameras=tuple(cfg.model.cameras), size=size,
+                  encode=args.encode, max_demos=args.max_demos,
+                  image_key_format=cfg.data.image_key_format,
+                  use_native=cfg.data.use_native)
+        multi = (len(srcs) > 1 or args.out.endswith(os.sep)
+                 or os.path.isdir(args.out or "repacked.hdf5"))
+        try:
+            if not multi:
+                out_path = args.out or "repacked.hdf5"
+                summary = dict(repack_file(srcs[0], out_path, **kw))
+                outs = [out_path]
+            else:
+                out_dir = (args.out or "repacked").rstrip(os.sep)
+                os.makedirs(out_dir, exist_ok=True)
+                outs = []
+                summary = {"demos": 0, "frames": 0,
+                           "bytes_in": 0, "bytes_out": 0}
+                used = set()
+                for i, src in enumerate(srcs):
+                    stem = os.path.splitext(os.path.basename(src))[0]
+                    if stem in used:
+                        stem = f"{stem}_{i}"
+                    used.add(stem)
+                    dst = os.path.join(out_dir, f"{stem}_repacked.hdf5")
+                    one = repack_file(src, dst, **kw)
+                    for k in ("demos", "frames", "bytes_in", "bytes_out"):
+                        summary[k] += one[k]
+                    outs.append(dst)
+                summary["files"] = len(srcs)
+        except (ValueError, KeyError) as e:
+            raise SystemExit(str(e))
+        summary.update(size=size, encode=args.encode,
+                       out=outs if len(outs) > 1 else outs[0],
+                       next=f"train with data.path={','.join(outs)}")
         print(json.dumps(summary))
         return 0
 
