@@ -151,6 +151,60 @@ def main() -> None:
         results[f"predictor_{tag}_device_only"] = time_calls(
             dev_call2, args.calls)
 
+    # --- 1c. HTTP daemon (cli serve / utils/serve.py) ---------------------
+    # the out-of-process serving surface: adds JSON parse + base64 decode
+    # (+ jpeg decode for compressed payloads) + loopback TCP on top of the
+    # in-process Predictor above -- the delta between these rows and
+    # predictor_batch1_end_to_end is the daemon's own overhead.
+    import base64
+    import http.client
+    import threading
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.augment import (
+        encode_image,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.utils.serve import (
+        PoseService,
+        make_server,
+    )
+
+    service = PoseService(cfg, state=state, model=model,
+                          max_batch=args.max_batch, warmup=True)
+    httpd = make_server(service, port=0)
+    srv_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    srv_thread.start()
+    port = httpd.server_address[1]
+    obs1 = obs_for(1)
+    raw_payload = json.dumps({
+        "proprio": obs1["proprio"].tolist(),
+        "images": {c: {"b64": base64.b64encode(v.tobytes()).decode(),
+                       "encoding": "raw", "shape": list(v.shape)}
+                   for c, v in obs1["images"].items()},
+    })
+    jpg_payload = json.dumps({
+        "proprio": obs1["proprio"].tolist(),
+        "images": {c: {"b64": base64.b64encode(
+                           encode_image(v, ".jpg").tobytes()).decode(),
+                       "encoding": "jpeg"}
+                   for c, v in obs1["images"].items()},
+    })
+
+    def http_call(payload):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/predict", body=payload,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        resp.read()
+        conn.close()
+
+    results["http_batch1_raw_end_to_end"] = time_calls(
+        lambda: http_call(raw_payload), args.calls)
+    results["http_batch1_jpeg_end_to_end"] = time_calls(
+        lambda: http_call(jpg_payload), args.calls)
+    httpd.shutdown()
+    httpd.server_close()
+
     # --- 2. loaded StableHLO export --------------------------------------
     path = "/tmp/rppe_serve_bench.rppe"
     export_predictor(path, cfg, state=state, max_batch=args.max_batch)

@@ -121,12 +121,13 @@ class PoseService:
 
     def __init__(self, cfg: Config, ckpt_dir: Optional[str] = None,
                  step: Union[int, str, None] = None, max_batch: int = 8,
-                 warmup: bool = True):
+                 warmup: bool = True, state=None, model=None):
         from rgb_proprioceptive_pose_estimator_tpu.api import Predictor
 
         self.cfg = cfg
         self.predictor = Predictor(cfg, ckpt_dir=ckpt_dir, step=step,
-                                   max_batch=max_batch)
+                                   max_batch=max_batch, state=state,
+                                   model=model)
         self.step = int(self.predictor.state.step)
         self._lock = threading.Lock()
         self._lat_ms: deque = deque(maxlen=256)
