@@ -189,19 +189,28 @@ def main() -> None:
                    for c, v in obs1["images"].items()},
     })
 
+    # persistent connection (the daemon speaks HTTP/1.1 keep-alive) -- the
+    # robot-stack pattern; per-request connect/teardown would be on top.
+    # TCP_NODELAY on the client too: http.client writes headers and body
+    # separately, and Nagle would hold the body for the delayed ACK.
+    import socket as _socket
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.connect()
+    conn.sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+
     def http_call(payload):
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
         conn.request("POST", "/predict", body=payload,
                      headers={"Content-Type": "application/json"})
         resp = conn.getresponse()
-        assert resp.status == 200, resp.read()
-        resp.read()
-        conn.close()
+        body = resp.read()
+        assert resp.status == 200, body
 
     results["http_batch1_raw_end_to_end"] = time_calls(
         lambda: http_call(raw_payload), args.calls)
     results["http_batch1_jpeg_end_to_end"] = time_calls(
         lambda: http_call(jpg_payload), args.calls)
+    conn.close()
     httpd.shutdown()
     httpd.server_close()
 

@@ -105,8 +105,12 @@ def repack_file(
                         n_frames += len(g[ik])
                         break
                 n_demos += 1
-            if "mask" in src:
-                src.copy("mask", out)
+            # every other top-level member (mask/ filter keys, env
+            # metadata, user groups) copies verbatim -- the output is a
+            # complete dataset, not a training-only artifact
+            for name in src.keys():
+                if name != "data":
+                    src.copy(name, out)
         os.replace(tmp_path, out_path)
     except BaseException:
         if os.path.exists(tmp_path):
@@ -139,14 +143,17 @@ def _copy_group(g_src: h5py.Group, g_dst: h5py.Group, prefix: str,
             res = _resize_frames(frames.astype(np.uint8, copy=False),
                                  size, use_native)
             if encode == "raw":
-                g_dst.create_dataset(name, data=res, compression="gzip",
-                                     compression_opts=1)
+                ds = g_dst.create_dataset(name, data=res,
+                                          compression="gzip",
+                                          compression_opts=1)
             else:
                 ext = ".jpg" if encode == "jpeg" else ".png"
                 ds = g_dst.create_dataset(
                     name, (len(res),), dtype=h5py.vlen_dtype(np.uint8))
                 ds[...] = [aug.encode_image(fr, ext, quality=jpeg_quality)
                            for fr in res]
+            for k, v in item.attrs.items():   # dataset-level attrs survive
+                ds.attrs[k] = v
         else:
             # verbatim copy (data + attrs + dtype; h5py handles cross-file)
             g_src.copy(name, g_dst)

@@ -539,46 +539,50 @@ def fit(cfg: Config) -> Dict[str, Any]:
                 logger.log(step1, {"preempted_at": float(step1)},
                            prefix="train/")
                 break
+        # final save at the last step actually run (== tcfg.steps unless early
+        # stopping broke out). Skip when the cadence already saved this step
+        # (the save may still be async-in-flight -- a second save would
+        # collide) and when resuming an already-completed run (the step exists
+        # on disk).
+        final_step = tcfg.steps
+        if stopped_at is not None:
+            final_step = stopped_at
+        elif preempted_at is not None:
+            final_step = preempted_at
+        # BN recal is skipped on preemption: the checkpoint is a resume point,
+        # not a serving artifact, and the grace window is for saving, not for
+        # ema_bn_recal_batches of extra forward passes.
+        if (recal_step is not None and start_step < final_step
+                and preempted_at is None):
+            # ship serving-matched BN stats in the final state/checkpoint
+            # (earlier cadence checkpoints keep raw training stats; a resume
+            # re-adapts the running averages within ~1/(1-momentum) batches
+            # anyway). If the cadence already saved the final step (with raw
+            # stats), replace that save so the LAST checkpoint always serves
+            # matched stats.
+            state = _recal_state(state)
+            if last_saved == final_step:
+                ckpt.wait()              # the async cadence save is in flight
+                ckpt.delete(final_step)
+                last_saved = None
+        if start_step < final_step and last_saved != final_step:
+            if final_step in preexisting_steps:
+                ckpt.delete(final_step)   # explicit-step resume past an old run
+            ckpt.save(final_step, state, data_state=train_pipe.state_dict())
+        ckpt.wait()
+        if best_ckpt is not None:
+            best_ckpt.wait()
+        tracer.close(sync=state.params)
+        logger.close()
+        train_pipe.close()
+        eval_pipe.close()
     finally:
+        # restored only after the preemption/final checkpoint is fully
+        # written: until then OUR handler (which just sets a flag)
+        # absorbs any further SIGTERM, so a scheduler that signals
+        # twice cannot kill the save it granted the grace window for
         if sig_installed:
             signal.signal(signal.SIGTERM, prev_sigterm)
-    # final save at the last step actually run (== tcfg.steps unless early
-    # stopping broke out). Skip when the cadence already saved this step
-    # (the save may still be async-in-flight -- a second save would
-    # collide) and when resuming an already-completed run (the step exists
-    # on disk).
-    final_step = tcfg.steps
-    if stopped_at is not None:
-        final_step = stopped_at
-    elif preempted_at is not None:
-        final_step = preempted_at
-    # BN recal is skipped on preemption: the checkpoint is a resume point,
-    # not a serving artifact, and the grace window is for saving, not for
-    # ema_bn_recal_batches of extra forward passes.
-    if (recal_step is not None and start_step < final_step
-            and preempted_at is None):
-        # ship serving-matched BN stats in the final state/checkpoint
-        # (earlier cadence checkpoints keep raw training stats; a resume
-        # re-adapts the running averages within ~1/(1-momentum) batches
-        # anyway). If the cadence already saved the final step (with raw
-        # stats), replace that save so the LAST checkpoint always serves
-        # matched stats.
-        state = _recal_state(state)
-        if last_saved == final_step:
-            ckpt.wait()              # the async cadence save is in flight
-            ckpt.delete(final_step)
-            last_saved = None
-    if start_step < final_step and last_saved != final_step:
-        if final_step in preexisting_steps:
-            ckpt.delete(final_step)   # explicit-step resume past an old run
-        ckpt.save(final_step, state, data_state=train_pipe.state_dict())
-    ckpt.wait()
-    if best_ckpt is not None:
-        best_ckpt.wait()
-    tracer.close(sync=state.params)
-    logger.close()
-    train_pipe.close()
-    eval_pipe.close()
 
     return {
         "state": state,

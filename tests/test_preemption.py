@@ -92,19 +92,19 @@ def test_fit_in_background_thread_skips_handler(tmp_path):
     assert int(result["out"]["state"].step) == 4
 
 
-def test_compile_cache_dir_populates(tmp_path):
-    cache = tmp_path / "jaxcache"
-    cfg = _cfg(tmp_path, "cc", 4, **{"train.log_every": 2,
-                                     "train.compile_cache_dir": str(cache)})
-    rppe.train(cfg)
-    entries = list(cache.iterdir())
-    assert entries, "compilation cache directory is empty after training"
-
-
-def test_compile_cache_retarget_raises(tmp_path):
+def test_compile_cache_populates_then_refuses_retarget(tmp_path):
+    """One test for both properties because the cache is process-global:
+    splitting them makes the outcome depend on test order."""
     from rgb_proprioceptive_pose_estimator_tpu.utils import compile_cache
 
-    if compile_cache._enabled_dir is None:
-        compile_cache.enable_compile_cache(str(tmp_path / "a"))
+    already = compile_cache._enabled_dir
+    cache = already or str(tmp_path / "jaxcache")
+    cfg = _cfg(tmp_path, "cc", 4, **{"train.log_every": 2,
+                                     "train.compile_cache_dir": cache})
+    rppe.train(cfg)
+    import os
+
+    assert os.listdir(cache), \
+        "compilation cache directory is empty after training"
     with pytest.raises(ValueError, match="process-global"):
         compile_cache.enable_compile_cache(str(tmp_path / "elsewhere"))

@@ -47,6 +47,9 @@ def test_repack_copies_everything_else(tmp_path):
     with h5py.File(src, "a") as f:
         f["data/demo_0"].attrs["num_samples"] = 6
         f["data"].attrs["env"] = "fixture"
+        f["data/demo_0/obs/agentview_image"].attrs["camera_fov"] = 45.0
+        f.create_group("env_metadata").create_dataset(
+            "timestep", data=np.float64(0.02))
 
     repack_file(src, out, cameras=("agentview",), size=32)
     with h5py.File(src) as a, h5py.File(out) as b:
@@ -62,6 +65,11 @@ def test_repack_copies_everything_else(tmp_path):
         assert b["data"].attrs["env"] == "fixture"
         assert b["data/demo_0"].attrs["num_samples"] == 6
         assert list(np.asarray(b["mask/extra"])) == [b"demo_0"]
+        # dataset-level attrs survive the re-encode; extra top-level
+        # groups copy through (the output is a complete dataset)
+        assert (b["data/demo_0/obs/agentview_image"].attrs["camera_fov"]
+                == 45.0)
+        assert float(b["env_metadata/timestep"][()]) == 0.02
 
 
 def test_repack_jpeg_roundtrip_trains(tmp_path):
