@@ -54,6 +54,12 @@ def main() -> None:
     ap.add_argument("--calls", type=int, default=50)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--image-size", type=int, default=128)
+    ap.add_argument("--clients", type=int, default=8,
+                    help="multi-client rows: concurrent client threads")
+    ap.add_argument("--client-reqs", type=int, default=16,
+                    help="multi-client rows: sequential requests per client")
+    ap.add_argument("--coalesce-ms", type=float, default=5.0,
+                    help="multi-client rows: coalescing window to measure")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -213,6 +219,64 @@ def main() -> None:
     conn.close()
     httpd.shutdown()
     httpd.server_close()
+    service.close()
+
+    # --- 1d. multi-client load: request coalescing on vs off --------------
+    # N concurrent clients each stream sequential requests. Without
+    # coalescing every request pays the full dispatch+fetch round trip
+    # serially (one TPU stream); with --coalesce-ms the requests arriving
+    # inside a window share ONE compiled max_batch call, so the fixed
+    # per-dispatch cost amortizes across the window. The contrast is the
+    # aggregate_req_per_s between the two rows (mean_batch reports how
+    # large the windows actually got).
+    def multi_client_run(tag, coalesce_ms):
+        svc = PoseService(cfg, state=state, model=model,
+                          max_batch=args.max_batch, warmup=True,
+                          coalesce_ms=coalesce_ms)
+        hs = make_server(svc, port=0)
+        th = threading.Thread(target=hs.serve_forever, daemon=True)
+        th.start()
+        p = hs.server_address[1]
+        lats = [[] for _ in range(args.clients)]
+
+        def run_client(i):
+            c = http.client.HTTPConnection("127.0.0.1", p, timeout=120)
+            c.connect()
+            c.sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+            for _ in range(args.client_reqs):
+                t0 = time.perf_counter()
+                c.request("POST", "/predict", body=raw_payload,
+                          headers={"Content-Type": "application/json"})
+                resp = c.getresponse()
+                body = resp.read()
+                assert resp.status == 200, body
+                lats[i].append(time.perf_counter() - t0)
+            c.close()
+
+        threads = [threading.Thread(target=run_client, args=(i,))
+                   for i in range(args.clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        health = svc.health()
+        hs.shutdown()
+        hs.server_close()
+        svc.close()
+        total = args.clients * args.client_reqs
+        row = {**percentiles([x for ls in lats for x in ls]),
+               "clients": args.clients,
+               "requests": total,
+               "aggregate_req_per_s": round(total / wall, 1)}
+        if coalesce_ms > 0:
+            row["coalesce_ms"] = coalesce_ms
+            row["mean_batch"] = health.get("mean_batch")
+        results[tag] = row
+
+    multi_client_run("http_multiclient_solo", 0.0)
+    multi_client_run("http_multiclient_coalesced", args.coalesce_ms)
 
     # --- 2. loaded StableHLO export --------------------------------------
     path = "/tmp/rppe_serve_bench.rppe"

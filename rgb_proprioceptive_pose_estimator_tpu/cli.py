@@ -289,6 +289,11 @@ def main(argv=None) -> int:
                     help="serve: TCP port (0 = pick a free one)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="serve: skip the pre-compile warmup call")
+    ap.add_argument("--coalesce-ms", type=float, default=0.0,
+                    help="serve: micro-batch concurrent single-obs "
+                         "requests arriving within this window into one "
+                         "compiled device call (0 = off; try 2-5 under "
+                         "multi-client load)")
     ap.add_argument("--sample", default="", metavar="PNG",
                     help="inspect: also write a decoded sample-frame grid "
                          "(first frame per camera x up to 4 demos) -- "
@@ -574,7 +579,8 @@ def main(argv=None) -> int:
         httpd, service = serve(cfg, host=args.host, port=args.port,
                                ckpt_dir=args.ckpt_dir or None,
                                step=ckpt_step, max_batch=args.max_batch,
-                               warmup=not args.no_warmup)
+                               warmup=not args.no_warmup,
+                               coalesce_ms=args.coalesce_ms)
         print(json.dumps({"serving": f"http://{httpd.server_address[0]}:"
                                      f"{httpd.server_address[1]}",
                           **service.health()}), flush=True)
@@ -584,6 +590,7 @@ def main(argv=None) -> int:
             pass
         finally:
             httpd.server_close()
+            service.close()
         return 0
 
     if args.command == "predict":

@@ -32,17 +32,24 @@ A configured camera may be omitted exactly when the in-process Predictor
 allows it (model.camera_dropout training or allow_missing_cameras) — the
 dead-camera request runs the cheaper structural-absence signature.
 Malformed requests get 400 with {"error": ...}; everything else 500.
+
+With `cli serve --coalesce-ms W` (PoseService(coalesce_ms=W)), concurrent
+standard-signature requests arriving within a W-millisecond window are
+micro-batched into ONE compiled device call (see PoseService docstring) —
+the TPU-serving answer to multi-client load, since a single fixed-shape
+batched dispatch costs barely more than a batch-1 dispatch.
 """
 
 from __future__ import annotations
 
 import base64
 import json
+import queue
 import threading
 import time
 from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -114,14 +121,40 @@ def _parse_obs(body: bytes) -> Dict[str, Any]:
     return obs
 
 
+class _Pending:
+    """One enqueued coalescable request: the waiter blocks on `event`,
+    the batch worker fills `result` (a (pos, quat) row pair) or `exc`."""
+
+    __slots__ = ("obs", "event", "result", "exc")
+
+    def __init__(self, obs: Dict[str, Any]):
+        self.obs = obs
+        self.event = threading.Event()
+        self.result: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.exc: Optional[Exception] = None
+
+
 class PoseService:
     """The model side of the server: one Predictor + a serialization lock
     (one TPU stream; interleaving compiled calls buys nothing) + rolling
-    latency stats for /healthz."""
+    latency stats for /healthz.
+
+    With coalesce_ms > 0, concurrent single-observation requests are
+    micro-batched: the first request opens a window of that many
+    milliseconds, every standard-signature request arriving inside it
+    joins the same compiled max_batch call, and the results scatter back
+    to their waiters. One device call amortizes the fixed per-dispatch
+    latency (host->device transfer + kernel launch through the tunnel)
+    across the whole window -- under N concurrent clients the serialized
+    alternative pays that fixed cost N times. Requests that are already
+    batched, use a dead-camera signature, or have non-standard shapes
+    bypass the queue and run solo (correctness first; only the common
+    control-loop case is accelerated)."""
 
     def __init__(self, cfg: Config, ckpt_dir: Optional[str] = None,
                  step: Union[int, str, None] = None, max_batch: int = 8,
-                 warmup: bool = True, state=None, model=None):
+                 warmup: bool = True, state=None, model=None,
+                 coalesce_ms: float = 0.0):
         from rgb_proprioceptive_pose_estimator_tpu.api import Predictor
 
         self.cfg = cfg
@@ -129,31 +162,144 @@ class PoseService:
                                    max_batch=max_batch, state=state,
                                    model=model)
         self.step = int(self.predictor.state.step)
+        self.max_batch = max_batch
+        self.coalesce_ms = float(coalesce_ms)
         self._lock = threading.Lock()
         self._lat_ms: deque = deque(maxlen=256)
         self._requests = 0
+        self._batch_sizes: deque = deque(maxlen=256)
+        self._queue: "queue.SimpleQueue[Optional[_Pending]]" = \
+            queue.SimpleQueue()
+        self._worker: Optional[threading.Thread] = None
+        if self.coalesce_ms > 0:
+            self._worker = threading.Thread(
+                target=self._batch_loop, name="rppe-coalesce", daemon=True)
+            self._worker.start()
         if warmup:
             self.predictor.warmup()
 
+    # -- request paths ----------------------------------------------------
+
     def predict(self, obs: Dict[str, Any]) -> Dict[str, Any]:
         t0 = time.perf_counter()
-        with self._lock:
-            pos, quat = self.predictor(obs)
+        if self._worker is not None and self._coalescable(obs):
+            item = _Pending(obs)
+            self._queue.put(item)
+            # 60 s >> any sane compile; a dead worker must not hang the
+            # HTTP thread forever
+            if not item.event.wait(timeout=60.0):
+                raise RuntimeError("coalesce worker timed out")
+            if item.exc is not None:
+                raise item.exc
+            assert item.result is not None
+            pos, quat = item.result
             ms = (time.perf_counter() - t0) * 1e3
-            # stats mutate under the same lock health() reads them with --
-            # iterating a deque while another request thread appends raises
-            self._lat_ms.append(ms)
-            self._requests += 1
+            with self._lock:
+                self._lat_ms.append(ms)
+                self._requests += 1
+        else:
+            with self._lock:
+                pos, quat = self.predictor(obs)
+                ms = (time.perf_counter() - t0) * 1e3
+                # stats mutate under the same lock health() reads them
+                # with -- iterating a deque while another request thread
+                # appends raises
+                self._lat_ms.append(ms)
+                self._requests += 1
         return {"pos": np.asarray(pos).tolist(),
                 "quat": np.asarray(quat).tolist(),
                 "quat_order": "wxyz",
                 "ms": round(ms, 3)}
 
+    def _coalescable(self, obs: Dict[str, Any]) -> bool:
+        """True iff obs is ONE standard-signature sample: full camera set
+        at the model's resolution, proprio of the model's width -- the
+        shapes that stack into the already-compiled max_batch call."""
+        m = self.cfg.model
+        t = () if m.temporal_frames == 1 else (m.temporal_frames,)
+        if m.use_proprio:
+            p = obs.get("proprio")
+            if p is None or np.shape(p) != (*t, m.proprio_dim):
+                return False
+        if m.backbone != "none":
+            imgs = obs.get("images")
+            if not isinstance(imgs, dict) or set(imgs) != set(m.cameras):
+                return False
+            hw = (m.image_size, m.image_size, 3)
+            for v in imgs.values():
+                if np.shape(v) != (*t, *hw):
+                    return False
+        return True
+
+    def _batch_loop(self) -> None:
+        while True:
+            first = self._queue.get()
+            if first is None:          # close() sentinel
+                return
+            items = [first]
+            deadline = time.perf_counter() + self.coalesce_ms / 1e3
+            while len(items) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                try:
+                    nxt = (self._queue.get(timeout=remaining)
+                           if remaining > 0 else self._queue.get_nowait())
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run_batch(items)
+                    return
+                items.append(nxt)
+            self._run_batch(items)
+
+    def _run_batch(self, items: List[_Pending]) -> None:
+        m = self.cfg.model
+        try:
+            stacked: Dict[str, Any] = {}
+            if m.use_proprio:
+                stacked["proprio"] = np.stack(
+                    [np.asarray(it.obs["proprio"], np.float32)
+                     for it in items])
+            if m.backbone != "none":
+                stacked["images"] = {
+                    c: np.stack([np.asarray(it.obs["images"][c], np.uint8)
+                                 for it in items])
+                    for c in m.cameras}
+            with self._lock:
+                pos, quat = self.predictor(stacked)
+                self._batch_sizes.append(len(items))
+            # np.stack added an explicit batch dim, so the Predictor
+            # always returns (B, 3)/(B, 4) here -- no squeeze case
+            pos = np.asarray(pos, np.float32)
+            quat = np.asarray(quat, np.float32)
+            for i, it in enumerate(items):
+                it.result = (pos[i], quat[i])
+        except Exception:
+            # one request's weirdness must not fail the whole window:
+            # fall back to solo execution per request
+            for it in items:
+                try:
+                    with self._lock:
+                        it.result = self.predictor(it.obs)
+                except Exception as e:
+                    it.exc = e
+        finally:
+            for it in items:
+                it.event.set()
+
+    def close(self) -> None:
+        """Stop the coalesce worker (idempotent; in-flight requests
+        complete)."""
+        if self._worker is not None:
+            self._queue.put(None)
+            self._worker.join(timeout=10.0)
+            self._worker = None
+
     def health(self) -> Dict[str, Any]:
         m = self.cfg.model
         with self._lock:
             lat = sorted(self._lat_ms)
-        return {
+            sizes = list(self._batch_sizes)
+        out = {
             "status": "ok",
             "step": self.step,
             "cameras": list(m.cameras) if m.backbone != "none" else [],
@@ -164,6 +310,12 @@ class PoseService:
             "requests": self._requests,
             "p50_ms": round(lat[len(lat) // 2], 3) if lat else None,
         }
+        if self.coalesce_ms > 0:
+            out["coalesce_ms"] = self.coalesce_ms
+            out["coalesced_batches"] = len(sizes)
+            out["mean_batch"] = (round(float(np.mean(sizes)), 2)
+                                 if sizes else None)
+        return out
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -231,10 +383,12 @@ def make_server(service: PoseService, host: str = "127.0.0.1",
 def serve(cfg: Config, host: str = "127.0.0.1", port: int = 8080,
           ckpt_dir: Optional[str] = None,
           step: Union[int, str, None] = None, max_batch: int = 8,
-          warmup: bool = True) -> Tuple[ThreadingHTTPServer, PoseService]:
+          warmup: bool = True, coalesce_ms: float = 0.0
+          ) -> Tuple[ThreadingHTTPServer, PoseService]:
     """cli serve entry: restore, warm up, listen. Returns after binding;
     the caller decides between serve_forever() (CLI) and a background
     thread (tests/notebooks)."""
     service = PoseService(cfg, ckpt_dir=ckpt_dir, step=step,
-                          max_batch=max_batch, warmup=warmup)
+                          max_batch=max_batch, warmup=warmup,
+                          coalesce_ms=coalesce_ms)
     return make_server(service, host, port), service

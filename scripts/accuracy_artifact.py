@@ -216,6 +216,11 @@ ROWS = {
         "model.backbone": "resnet50", "model.image_size": 224,
         "model.dtype": "bfloat16", "model.remat": True,
         "model.image_features": 1024},
+    # --- beyond-reference ViT backbone (models/vit.py): held-out MAE on
+    # the same fixture as the ResNet-18 "image-only" row, so the two
+    # backbones are directly comparable at equal data/steps
+    "image-only (vit)": {"model.use_proprio": False,
+                         "model.backbone": "vit"},
 }
 
 

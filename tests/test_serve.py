@@ -109,6 +109,107 @@ def test_client_errors(proprio_server):
     assert status == 400 and "base64" in out["error"]
 
 
+def test_coalesce_batches_one_device_call(proprio_server):
+    """Deterministic micro-batching check: run the worker's batch path
+    directly on queued requests and count underlying Predictor calls."""
+    from rgb_proprioceptive_pose_estimator_tpu.utils.serve import (
+        PoseService,
+        _Pending,
+    )
+
+    _, cfg, base = proprio_server
+    service = PoseService(cfg, max_batch=4, warmup=False,
+                          state=base.predictor.state,
+                          model=base.predictor.model,
+                          coalesce_ms=5.0)
+    try:
+        calls = []
+        inner = service.predictor
+
+        class Counting:
+            def __call__(self, obs):
+                calls.append(obs)
+                return inner(obs)
+
+        service.predictor = Counting()
+        rng = np.random.default_rng(3)
+        obs = [{"proprio": rng.normal(
+                    size=cfg.model.proprio_dim).astype(np.float32)}
+               for _ in range(3)]
+        items = [_Pending(o) for o in obs]
+        service._run_batch(items)
+        assert len(calls) == 1                       # ONE compiled call
+        assert all(it.event.is_set() for it in items)
+        assert all(it.exc is None for it in items)
+        for o, it in zip(obs, items):
+            pos, quat = base.predictor(o)            # solo oracle
+            np.testing.assert_allclose(it.result[0], pos,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(it.result[1], quat,
+                                       rtol=1e-5, atol=1e-6)
+        # non-standard signatures bypass the queue
+        assert not service._coalescable(
+            {"proprio": np.zeros((2, cfg.model.proprio_dim), np.float32)})
+        assert not service._coalescable({})
+        assert service._coalescable(obs[0])
+    finally:
+        service.close()
+
+
+def test_coalesce_live_concurrent_clients(proprio_server):
+    """End-to-end over HTTP: concurrent clients inside one window all get
+    answers that match the solo path, and at least one multi-request
+    micro-batch forms."""
+    from rgb_proprioceptive_pose_estimator_tpu.utils.serve import (
+        PoseService,
+        make_server,
+    )
+
+    _, cfg, base = proprio_server
+    service = PoseService(cfg, max_batch=8, warmup=False,
+                          state=base.predictor.state,
+                          model=base.predictor.model,
+                          coalesce_ms=250.0)
+    httpd = make_server(service, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        rng = np.random.default_rng(7)
+        obs = [rng.normal(size=cfg.model.proprio_dim).astype(np.float32)
+               for _ in range(6)]
+        outs = [None] * len(obs)
+
+        def client(i):
+            outs[i] = _request(port, "POST", "/predict",
+                               {"proprio": obs[i].tolist()})
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(obs))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        for i, (status, out) in enumerate(outs):
+            assert status == 200
+            pos, quat = base.predictor({"proprio": obs[i]})
+            np.testing.assert_allclose(out["pos"], pos,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(out["quat"], quat,
+                                       rtol=1e-5, atol=1e-6)
+        _, h = _request(port, "GET", "/healthz")
+        assert h["coalesce_ms"] == 250.0
+        assert h["coalesced_batches"] >= 1
+        # 6 clients inside a 250 ms window: at least one batch > 1 (the
+        # window is opened by the FIRST arrival; the rest enqueue while
+        # the worker waits)
+        assert h["mean_batch"] > 1.0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        service.close()
+
+
 def test_image_model_encoded_and_raw(tmp_path):
     """cnn_small image model: a JPEG-encoded request and a raw-pixel
     request both serve, and match the in-process Predictor on the same
