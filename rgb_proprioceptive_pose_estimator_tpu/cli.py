@@ -213,7 +213,7 @@ def main(argv=None) -> int:
     ap.add_argument("command",
                     choices=["train", "eval", "predict", "export", "config",
                              "presets", "info", "inspect", "curves",
-                             "render", "serve", "repack"])
+                             "render", "serve", "repack", "sweep"])
     ap.add_argument("--preset", default="pr1", choices=sorted(PRESETS))
     ap.add_argument("--config", default="", help="JSON config file")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
@@ -232,7 +232,8 @@ def main(argv=None) -> int:
                          "pose.rppe); render: rendered file (default "
                          "rendered.hdf5); repack: repacked file (default "
                          "repacked.hdf5); curves: figure (default "
-                         "curves.png)")
+                         "curves.png); sweep: run directory (default "
+                         "sweep)")
     ap.add_argument("--max-batch", type=int, default=8,
                     help="export: compiled batch size of the artifact")
     ap.add_argument("--quantize", default="none", choices=["none", "int8"],
@@ -294,6 +295,14 @@ def main(argv=None) -> int:
                          "requests arriving within this window into one "
                          "compiled device call (0 = off; try 2-5 under "
                          "multi-client load)")
+    ap.add_argument("--grid", default="", metavar="SPEC",
+                    help='sweep: grid spec "train.lr=1e-3|3e-4; '
+                         'model.proprio_dropout=0|0.5" (";" between keys, '
+                         '"|" between alternatives; values parse like '
+                         "--set). Runs the cross product, resumable")
+    ap.add_argument("--metric", default="eval_pos_mae_cm",
+                    help="sweep: fit() metrics key that picks the best "
+                         "run (lower = better)")
     ap.add_argument("--sample", default="", metavar="PNG",
                     help="inspect: also write a decoded sample-frame grid "
                          "(first frame per camera x up to 4 demos) -- "
@@ -523,6 +532,23 @@ def main(argv=None) -> int:
             except ValueError as e:
                 raise SystemExit(str(e))
         print(json.dumps(report, indent=2))
+        return 0
+
+    if args.command == "sweep":
+        # grid sweep over fit() (utils/sweep.py): resumable, one JSONL row
+        # per finished run under --out, best run reported by --metric
+        from rgb_proprioceptive_pose_estimator_tpu.utils.sweep import (
+            run_sweep,
+        )
+
+        if not args.grid:
+            raise SystemExit('sweep requires --grid "KEY=V1|V2; ..."')
+        try:
+            summary = run_sweep(cfg, args.grid, args.out or "sweep",
+                                metric=args.metric)
+        except (ValueError, KeyError) as e:
+            raise SystemExit(str(e))
+        print(json.dumps(summary, indent=2))
         return 0
 
     import rgb_proprioceptive_pose_estimator_tpu as rppe
