@@ -167,9 +167,11 @@ class PoseService:
         self._lock = threading.Lock()
         self._lat_ms: deque = deque(maxlen=256)
         self._requests = 0
-        self._batch_sizes: deque = deque(maxlen=256)
+        self._n_batches = 0                  # monotonic (health "count")
+        self._batch_sizes: deque = deque(maxlen=256)   # rolling (mean only)
         self._queue: "queue.SimpleQueue[Optional[_Pending]]" = \
             queue.SimpleQueue()
+        self._closing = False
         self._worker: Optional[threading.Thread] = None
         if self.coalesce_ms > 0:
             self._worker = threading.Thread(
@@ -182,7 +184,8 @@ class PoseService:
 
     def predict(self, obs: Dict[str, Any]) -> Dict[str, Any]:
         t0 = time.perf_counter()
-        if self._worker is not None and self._coalescable(obs):
+        if (self._worker is not None and not self._closing
+                and self._coalescable(obs)):
             item = _Pending(obs)
             self._queue.put(item)
             # 60 s >> any sane compile; a dead worker must not hang the
@@ -266,6 +269,7 @@ class PoseService:
                     for c in m.cameras}
             with self._lock:
                 pos, quat = self.predictor(stacked)
+                self._n_batches += 1
                 self._batch_sizes.append(len(items))
             # np.stack added an explicit batch dim, so the Predictor
             # always returns (B, 3)/(B, 4) here -- no squeeze case
@@ -288,11 +292,25 @@ class PoseService:
 
     def close(self) -> None:
         """Stop the coalesce worker (idempotent; in-flight requests
-        complete)."""
+        complete). New requests arriving during/after close run solo."""
         if self._worker is not None:
+            self._closing = True        # new predict() calls take solo path
             self._queue.put(None)
             self._worker.join(timeout=10.0)
             self._worker = None
+            # a request that passed the predict() gate before _closing was
+            # visible may have enqueued after the sentinel; serve those
+            # stragglers here rather than leaving their waiters to time out
+            leftovers: List[_Pending] = []
+            while True:
+                try:
+                    it = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if it is not None:
+                    leftovers.append(it)
+            if leftovers:
+                self._run_batch(leftovers)
 
     def health(self) -> Dict[str, Any]:
         m = self.cfg.model
@@ -312,7 +330,8 @@ class PoseService:
         }
         if self.coalesce_ms > 0:
             out["coalesce_ms"] = self.coalesce_ms
-            out["coalesced_batches"] = len(sizes)
+            out["coalesced_batches"] = self._n_batches   # monotonic counter
+            # mean over the rolling window (last 256 batches)
             out["mean_batch"] = (round(float(np.mean(sizes)), 2)
                                  if sizes else None)
         return out

@@ -51,11 +51,13 @@ def parse_grid(spec: str) -> List[Dict[str, Any]]:
         key = key.strip()
         if key in keys:
             raise ValueError(f"grid key {key!r} appears twice")
-        parsed = [_parse_value(v.strip()) for v in vals.split("|")]
-        if not parsed:
-            raise ValueError(f"grid key {key!r} has no values")
+        raw = [v.strip() for v in vals.split("|")]
+        if any(not v for v in raw):
+            # "KEY=".split("|") -> [""] -- catch the stray '=' here
+            # instead of setting '' on a config field and failing later
+            raise ValueError(f"grid key {key!r} has an empty value")
         keys.append(key)
-        alts.append(parsed)
+        alts.append([_parse_value(v) for v in raw])
     if not keys:
         raise ValueError("empty grid spec")
     return [dict(zip(keys, combo)) for combo in itertools.product(*alts)]
@@ -66,12 +68,16 @@ def run_sweep(cfg: Config, grid: str, out_dir: str,
               resume: bool = True) -> Dict[str, Any]:
     """Train every grid combination; returns a summary with the best run.
 
-    Each combination trains under <out_dir>/run_<i> with the combination's
-    overrides applied on top of cfg; its final fit() metrics row appends
-    to <out_dir>/sweep.jsonl. `metric` selects the winner (lower = better;
-    any key of the metrics row, e.g. eval_pos_mae_cm / eval_rot_mae_deg /
-    loss)."""
-    from rgb_proprioceptive_pose_estimator_tpu.api import train
+    Each combination trains under <out_dir>/run_<hash-of-overrides> (the
+    directory is keyed by the COMBINATION, not its grid position, so
+    editing/reordering the grid can never resume one combination from
+    another's checkpoints) with the overrides applied on top of cfg; its
+    final fit() metrics row appends to <out_dir>/sweep.jsonl. `metric`
+    selects the winner (lower = better; any key of the metrics row, e.g.
+    eval_pos_mae_cm / eval_rot_mae_deg / loss)."""
+    import hashlib
+
+    from rgb_proprioceptive_pose_estimator_tpu.api import evaluate, train
 
     combos = parse_grid(grid)
     if any("train.ckpt_dir" in c for c in combos):
@@ -96,8 +102,12 @@ def run_sweep(cfg: Config, grid: str, out_dir: str,
             rows.append(done[key])
             cached += 1
             continue
-        run_cfg = cfg.override(**combo, **{
-            "train.ckpt_dir": os.path.join(out_dir, f"run_{i:03d}")})
+        # the run directory is keyed by the combination's identity: a
+        # reordered/widened grid must never resume one combination from
+        # another combination's checkpoints
+        run_dir = os.path.join(
+            out_dir, f"run_{hashlib.sha1(key.encode()).hexdigest()[:10]}")
+        run_cfg = cfg.override(**combo, **{"train.ckpt_dir": run_dir})
         out = train(run_cfg)
         m = out["metrics"]
         if "preempted_at" in m:
@@ -105,13 +115,25 @@ def run_sweep(cfg: Config, grid: str, out_dir: str,
             # fit()'s resume="auto" continues from the saved step
             preempted = i
             break
-        row = {"run": i, "overrides": combo,
+        row = {"run": i, "overrides": combo, "ckpt_dir": run_dir,
                **{k: float(v) for k, v in m.items()
                   if isinstance(v, (int, float))}}
         if metric not in row:
+            # fit() reports no metrics when resume found the run already
+            # at its final step (e.g. a previous invocation crashed
+            # between training and recording), and eval metrics are
+            # absent when the eval cadence never fired: score the saved
+            # checkpoint directly instead of discarding the finished run
+            try:
+                em = evaluate(run_cfg, split="val")
+                row.update({f"eval_{k}": float(v) for k, v in em.items()
+                            if isinstance(v, (int, float))})
+            except Exception:
+                pass   # no val split / no checkpoint: the raise below says so
+        if metric not in row:
             raise KeyError(
                 f"sweep metric {metric!r} not in run metrics "
-                f"{sorted(k for k in row if k not in ('run', 'overrides'))} "
+                f"{sorted(k for k in row if k not in ('run', 'overrides', 'ckpt_dir'))} "
                 "-- set train.eval_every (and a val split) so fit() "
                 "reports eval metrics, or pick a train metric like 'loss'")
         with open(results_path, "a") as f:
@@ -130,11 +152,14 @@ def run_sweep(cfg: Config, grid: str, out_dir: str,
         summary["preempted_in_run"] = preempted
         summary["next"] = ("preempted mid-sweep; re-run the same command "
                            "to continue from the saved step")
-    if rows:
-        best = min(rows, key=lambda r: r[metric])
+    scored = [r for r in rows if metric in r]
+    if len(scored) < len(rows):
+        # older cached rows may predate this --metric; report, don't crash
+        summary["rows_missing_metric"] = len(rows) - len(scored)
+    if scored:
+        best = min(scored, key=lambda r: r[metric])
         summary["best"] = {"run": best["run"],
                            "overrides": best["overrides"],
                            metric: best[metric],
-                           "ckpt_dir": os.path.join(
-                               out_dir, f"run_{best['run']:03d}")}
+                           "ckpt_dir": best.get("ckpt_dir", "")}
     return summary

@@ -210,6 +210,35 @@ def test_coalesce_live_concurrent_clients(proprio_server):
         service.close()
 
 
+def test_coalesce_close_serves_stragglers(proprio_server):
+    """A request enqueued after the worker consumed the shutdown sentinel
+    (the close() race) must still be answered -- close() drains and serves
+    leftovers instead of letting the waiter time out."""
+    from rgb_proprioceptive_pose_estimator_tpu.utils.serve import (
+        PoseService,
+        _Pending,
+    )
+
+    _, cfg, base = proprio_server
+    service = PoseService(cfg, max_batch=4, warmup=False,
+                          state=base.predictor.state,
+                          model=base.predictor.model,
+                          coalesce_ms=5.0)
+    # kill the worker out from under the service (what the race produces)
+    service._queue.put(None)
+    service._worker.join(timeout=10)
+    item = _Pending({"proprio": np.zeros(cfg.model.proprio_dim,
+                                         np.float32)})
+    service._queue.put(item)          # enqueued after the worker died
+    service.close()                   # must serve the straggler
+    assert item.event.is_set()
+    assert item.exc is None and item.result is not None
+    # and once closed, predict() takes the solo path (no hang)
+    out = service.predict({"proprio": np.zeros(cfg.model.proprio_dim,
+                                               np.float32)})
+    assert len(out["pos"]) == 3
+
+
 def test_image_model_encoded_and_raw(tmp_path):
     """cnn_small image model: a JPEG-encoded request and a raw-pixel
     request both serve, and match the in-process Predictor on the same

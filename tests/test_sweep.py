@@ -2,6 +2,7 @@
 resumable run loop, and best-run selection."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -30,6 +31,12 @@ def test_parse_grid_cross_product():
         parse_grid("train.lr=1|2; train.lr=3")
     with pytest.raises(ValueError, match="empty"):
         parse_grid("  ;  ")
+    # a stray trailing '=' or '|' must fail HERE, not later inside the
+    # optimizer with '' set on a float field
+    with pytest.raises(ValueError, match="empty value"):
+        parse_grid("train.lr=")
+    with pytest.raises(ValueError, match="empty value"):
+        parse_grid("train.lr=1e-3|")
 
 
 def _sweep_cfg(tmp_path):
@@ -61,9 +68,14 @@ def test_run_sweep_and_resume(tmp_path):
     # the winner is genuinely the row with the lower metric
     best_val = min(r["eval_pos_mae_cm"] for r in rows)
     assert summary["best"]["eval_pos_mae_cm"] == best_val
-    # each run trained under its own directory
-    assert (tmp_path / "sweep" / "run_000").is_dir()
-    assert (tmp_path / "sweep" / "run_001").is_dir()
+    # each run trained under its own combo-keyed directory (NOT its grid
+    # position: a reordered grid must never inherit another combination's
+    # checkpoints)
+    dirs = {r["ckpt_dir"] for r in rows}
+    assert len(dirs) == 2
+    for d in dirs:
+        assert (tmp_path / "sweep").samefile(os.path.dirname(d))
+        assert os.path.isdir(d)
 
     # re-invocation: everything cached, nothing retrains, same best
     again = run_sweep(cfg, "train.lr=1e-3|1e-4", out)
@@ -71,14 +83,37 @@ def test_run_sweep_and_resume(tmp_path):
     assert again["best"] == summary["best"]
     assert len(open(summary["results"]).readlines()) == 2
 
+    # REORDERING the grid stays fully cached (combo identity, not index)
+    flipped = run_sweep(cfg, "train.lr=1e-4|1e-3", out)
+    assert flipped["cached"] == 2 and flipped["completed"] == 2
+
     # widening the grid trains only the new combination
     wider = run_sweep(cfg, "train.lr=1e-3|1e-4|3e-3", out)
     assert wider["grid_size"] == 3
     assert wider["cached"] == 2 and wider["completed"] == 3
 
 
+def test_sweep_recovers_unrecorded_finished_run(tmp_path):
+    """A run that trained fully but whose jsonl row was lost (crash between
+    train() and the append) must be recovered by scoring its checkpoint,
+    not retrained and not wedged."""
+    cfg = _sweep_cfg(tmp_path)
+    out = str(tmp_path / "sweep")
+    first = run_sweep(cfg, "train.lr=1e-3", out)
+    os.remove(first["results"])              # simulate the lost record
+    again = run_sweep(cfg, "train.lr=1e-3", out)
+    # fit() resumes at the final step (zero training iterations -> no fit
+    # metrics); the evaluate() fallback recovers the eval row
+    assert again["completed"] == 1 and again["cached"] == 0
+    assert np.isfinite(again["best"]["eval_pos_mae_cm"])
+    assert again["best"]["ckpt_dir"] == first["best"]["ckpt_dir"]
+
+
 def test_sweep_rejects_bad_metric_and_ckpt_key(tmp_path):
-    cfg = _sweep_cfg(tmp_path).override(**{"train.eval_every": 0})
+    # no eval cadence AND no val split: the evaluate() fallback cannot
+    # score the run either, so the missing metric fails loudly
+    cfg = _sweep_cfg(tmp_path).override(**{"train.eval_every": 0,
+                                           "data.val_fraction": 0.0})
     with pytest.raises(KeyError, match="eval_pos_mae_cm"):
         run_sweep(cfg, "train.lr=1e-3", str(tmp_path / "s1"))
     with pytest.raises(ValueError, match="ckpt_dir"):
