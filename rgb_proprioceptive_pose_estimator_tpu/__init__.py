@@ -35,6 +35,7 @@ if not _os.environ.get("_RPPE_RENDER_WORKER"):
     from rgb_proprioceptive_pose_estimator_tpu.api import (
         train, evaluate, predict, Predictor,
     )
+    from rgb_proprioceptive_pose_estimator_tpu.utils.sweep import run_sweep
 
 __version__ = "0.1.0"
 
@@ -50,5 +51,6 @@ __all__ = [
     "evaluate",
     "predict",
     "Predictor",
+    "run_sweep",
     "__version__",
 ]
