@@ -424,6 +424,17 @@ class TrainConfig:
     # must match. Ignored when ckpt_dir already holds a checkpoint: a
     # preempted run resumes its own state rather than re-applying the init.
     init_from: str = ""
+    # pretrained-backbone init (the reference's torchvision
+    # `pretrained=True` workflow, SURVEY.md section 1.3): path to a
+    # torchvision-style backbone state_dict -- ".npz" (numpy archive of
+    # the state_dict keys; torch-free) or a torch-pickled ".pt"/".pth"
+    # (needs torch on the host, lazily imported). The weights initialize
+    # EVERY camera encoder (utils/torch_import mapping for
+    # resnet18/34/50 and vit with vit_pool="cls"); head/proprio/fusion
+    # params start fresh. Composes with freeze_backbone. Mutually
+    # exclusive with init_from; like init_from, ignored once ckpt_dir
+    # holds a checkpoint (a preempted run resumes its own state).
+    init_from_torch: str = ""
     # graceful-preemption handling: when the process receives SIGTERM (the
     # signal cloud schedulers send before reclaiming a preemptible TPU VM,
     # typically with a ~30 s grace window), finish the in-flight step, save

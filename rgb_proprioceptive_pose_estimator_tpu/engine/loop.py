@@ -162,6 +162,45 @@ def warm_start_state(state: TrainState, directory: str) -> TrainState:
                          ema_params=ema)
 
 
+def warm_start_torch_backbone(state: TrainState, cfg: Config) -> TrainState:
+    """train.init_from_torch: initialize every camera encoder from a
+    torchvision-style pretrained state_dict file (the reference's
+    `pretrained=True` workflow, SURVEY.md section 1.3). Backbone weights +
+    BN running stats merge into the fresh init; head/proprio/fusion params
+    keep their random init; shapes are validated leaf-by-leaf by
+    utils/torch_import.load_pretrained_backbone."""
+    from rgb_proprioceptive_pose_estimator_tpu.utils.torch_import import (
+        load_pretrained_backbone,
+        load_state_dict_file,
+    )
+
+    arch = cfg.model.backbone
+    if arch not in ("resnet18", "resnet34", "resnet50", "vit"):
+        raise ValueError(
+            f"train.init_from_torch: no torchvision import mapping for "
+            f"model.backbone={arch!r} (supported: resnet18/resnet34/"
+            "resnet50/vit)")
+    if arch == "vit" and cfg.model.vit_pool != "cls":
+        raise ValueError(
+            "train.init_from_torch with a ViT backbone requires "
+            "model.vit_pool='cls' (torchvision VisionTransformer reads the "
+            "class token; mean pooling would misuse the imported pos_embed "
+            "CLS slot)")
+    sd = load_state_dict_file(cfg.train.init_from_torch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    for cam in cfg.model.cameras:
+        variables = load_pretrained_backbone(
+            variables, cam, sd, arch,
+            depth=cfg.model.vit_depth, heads=cfg.model.vit_heads)
+    ema = state.ema_params
+    if ema is not None:
+        # EMA restarts AT the imported weights (same rule as init_from)
+        ema = jax.tree.map(jnp.copy, variables["params"])
+    return state.replace(params=variables["params"],
+                         batch_stats=variables["batch_stats"],
+                         ema_params=ema)
+
+
 def evaluate_pipeline(eval_step, state: TrainState, pipeline: HostPipeline,
                       max_batches: int = 0, start: int = 0,
                       image_cache=None) -> Dict[str, float]:
@@ -297,6 +336,16 @@ def fit(cfg: Config) -> Dict[str, Any]:
             "checkpoint")
 
     start_step = 0
+    if tcfg.init_from and tcfg.init_from_torch:
+        raise ValueError(
+            "train.init_from and train.init_from_torch are mutually "
+            "exclusive: a full-run warm start already carries its own "
+            "backbone weights")
+    if tcfg.init_from_torch and latest is None:
+        # pretrained-backbone init; like init_from, only while this run has
+        # no checkpoint of its own (config.py train.init_from_torch)
+        state = warm_start_torch_backbone(state, cfg)
+        state = jax.device_put(state, rsh)
     if tcfg.init_from and latest is None:
         # warm start, only while this run has no checkpoint of its own --
         # a preempted-and-resumed run keeps its resumed state below rather

@@ -36,6 +36,34 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+    """Read a backbone state_dict from disk for train.init_from_torch.
+
+    Two formats:
+      - ``.npz``: a numpy archive whose entry names are the torch
+        state_dict keys (``np.savez(path, **{k: v.numpy() ...})``) --
+        torch-free, the recommended interchange format.
+      - anything else (``.pt``/``.pth``): a torch-pickled state_dict,
+        loaded via ``torch.load(weights_only=True)``. torch is imported
+        lazily here only -- the product compute path stays torch-free
+        (SURVEY.md section 8 env note).
+    """
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    try:
+        import torch
+    except ImportError as e:
+        raise ImportError(
+            f"{path}: torch-pickled state_dicts need torch installed to "
+            "read; convert once to .npz instead (np.savez(out, **{k: "
+            "v.numpy() for k, v in sd.items()}))") from e
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: _np(v) for k, v in sd.items()}
+
+
 def _conv_kernel(w) -> np.ndarray:
     return np.transpose(_np(w), (2, 3, 1, 0)).astype(np.float32)  # OIHW->HWIO
 

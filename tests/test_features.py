@@ -165,6 +165,122 @@ def test_torch_import_shape_mismatch_raises():
     with pytest.raises((KeyError, ValueError)):
         load_pretrained_backbone(variables, "agentview", sd18, "resnet18")
 
+
+def test_init_from_torch_npz_through_fit(tmp_path, demo_h5):
+    """train.init_from_torch: a torchvision-style .npz state_dict
+    initializes every camera encoder inside fit() (the reference's
+    `pretrained=True` workflow, SURVEY.md section 1.3); combined with
+    freeze_backbone, the trained run's encoder params ARE the imported
+    weights while the head trains from fresh init."""
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+    from rgb_proprioceptive_pose_estimator_tpu.utils.checkpoint import (
+        restore_variables,
+    )
+
+    # donor init with a seed that differs from fit()'s, so imported values
+    # are distinguishable from this run's own random init
+    mcfg = ModelConfig(backbone="resnet18", image_size=64,
+                       use_proprio=False, image_features=64,
+                       head_hidden=(32,))
+    donor = build_model(mcfg)
+    v = donor.init(jax.random.PRNGKey(99), example_batch(mcfg, 1),
+                   train=False)
+    sd = _fake_torch_sd_from_flax(v["params"]["encoder_agentview"],
+                                  v["batch_stats"]["encoder_agentview"],
+                                  "resnet18")
+    npz = tmp_path / "r18.npz"
+    np.savez(npz, **sd)
+
+    cfg = rppe.preset("pr2").override(**{
+        "model.backbone": "resnet18",
+        "model.image_size": 64,
+        "model.image_features": 64,
+        "model.head_hidden": [32],
+        "model.use_proprio": False,
+        "model.freeze_backbone": True,
+        "data.path": demo_h5,
+        "data.batch_size": 8,
+        "data.num_workers": 2,
+        "train.steps": 2,
+        "train.seed": 0,
+        "train.log_every": 1,
+        "train.eval_every": 0,
+        "train.ckpt_every": 2,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "train.init_from_torch": str(npz),
+    })
+    rppe.train(cfg)
+
+    loaded = restore_variables(str(tmp_path / "ckpt"))
+    got = jax.tree_util.tree_flatten_with_path(
+        loaded["params"]["encoder_agentview"])[0]
+    want = {jax.tree_util.keystr(p): leaf for p, leaf in
+            jax.tree_util.tree_flatten_with_path(
+                v["params"]["encoder_agentview"])[0]}
+    assert got and set(want) == {jax.tree_util.keystr(p) for p, _ in got}
+    compared = 0
+    for path, leaf in got:
+        key = jax.tree_util.keystr(path)
+        if "proj" in key:
+            # the feature-projection head is NOT covered by the import
+            # (torchvision's fc is dropped); it keeps this run's fresh init
+            continue
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(want[key]), atol=1e-7, err_msg=key)
+        compared += 1
+    assert compared > 50  # the whole resnet18 backbone was checked
+    # the pose head exists alongside the imported encoder (fresh init)
+    assert "pose_out" in loaded["params"]
+
+
+def test_init_from_torch_validation(tmp_path, demo_h5):
+    """Unsupported backbones and init_from+init_from_torch both fail
+    loudly before any training step."""
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+
+    base = {
+        "data.path": demo_h5,
+        "data.batch_size": 8,
+        "train.steps": 1,
+        "train.eval_every": 0,
+        "train.ckpt_every": 1,
+    }
+    cfg = rppe.preset("pr2").override(**{
+        **base,
+        "model.use_proprio": False,
+        "train.ckpt_dir": str(tmp_path / "c1"),
+        "train.init_from_torch": str(tmp_path / "missing.npz"),
+    })
+    # pr2's cnn_small has no torchvision mapping
+    with pytest.raises(ValueError, match="no torchvision import mapping"):
+        rppe.train(cfg)
+
+    cfg2 = rppe.preset("pr2").override(**{
+        **base,
+        "model.use_proprio": False,
+        "train.ckpt_dir": str(tmp_path / "c2"),
+        "train.init_from": str(tmp_path / "other_run"),
+        "train.init_from_torch": str(tmp_path / "missing.npz"),
+    })
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        rppe.train(cfg2)
+
+
+def test_load_state_dict_file_npz_roundtrip(tmp_path):
+    from rgb_proprioceptive_pose_estimator_tpu.utils.torch_import import (
+        load_state_dict_file,
+    )
+
+    sd = {"conv1.weight": np.arange(12, dtype=np.float32).reshape(3, 4),
+          "bn1.running_mean": np.ones(3, dtype=np.float32)}
+    path = tmp_path / "sd.npz"
+    np.savez(path, **sd)
+    out = load_state_dict_file(str(path))
+    assert set(out) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(out[k], sd[k])
+
+
 def test_lstm_learns_velocity_task(tmp_path):
     """LSTM temporal variant LEARNING test (VERDICT r2 missing-3): on the
     velocity fixture the position label = marker + velocity, so a model
