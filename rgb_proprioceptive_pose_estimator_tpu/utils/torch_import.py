@@ -51,6 +51,10 @@ def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".npz"):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
+    if not path.endswith((".pt", ".pth")):
+        raise ValueError(
+            f"{path}: unsupported state_dict format; expected .npz (numpy "
+            "archive of state_dict keys) or .pt/.pth (torch-pickled)")
     try:
         import torch
     except ImportError as e:
@@ -241,8 +245,15 @@ def load_pretrained_backbone(variables: Dict[str, Any], camera: str,
         enc_stats[k] = v
 
     params[enc] = enc_params
-    batch_stats[enc] = enc_stats
     out = dict(variables)
     out["params"] = params
-    out["batch_stats"] = batch_stats
+    # Only write the batch_stats entry when there are stats to merge or the
+    # model already had one (BN-free encoders like ViT must not gain an
+    # empty-dict node: it would be saved into every checkpoint and then
+    # mismatch the fresh create_state template on resume, making the run
+    # unresumable after preemption).
+    if enc_stats or enc in variables.get("batch_stats", {}):
+        batch_stats[enc] = enc_stats
+    if batch_stats or "batch_stats" in variables:
+        out["batch_stats"] = batch_stats
     return out

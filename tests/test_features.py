@@ -166,6 +166,117 @@ def test_torch_import_shape_mismatch_raises():
         load_pretrained_backbone(variables, "agentview", sd18, "resnet18")
 
 
+def _fake_torch_vit_sd_from_flax(params, depth, heads):
+    """Inverse-map a flax ViT encoder tree into torchvision
+    VisionTransformer state_dict naming (inverts import_torch_vit; same
+    torch-free oracle approach as _fake_torch_sd_from_flax)."""
+    dim = np.asarray(params["cls_token"]).shape[-1]
+    sd = {
+        "conv_proj.weight": np.transpose(
+            np.asarray(params["patch_embed"]["kernel"]), (3, 2, 0, 1)),
+        "conv_proj.bias": np.asarray(params["patch_embed"]["bias"]),
+        "class_token": np.asarray(params["cls_token"]),
+        "encoder.pos_embedding": np.asarray(params["pos_embed"]),
+        "encoder.ln.weight": np.asarray(params["ln_out"]["scale"]),
+        "encoder.ln.bias": np.asarray(params["ln_out"]["bias"]),
+    }
+    for i in range(depth):
+        blk = params[f"block{i}"]
+        t = f"encoder.layers.encoder_layer_{i}"
+        sd[f"{t}.ln_1.weight"] = np.asarray(blk["ln1"]["scale"])
+        sd[f"{t}.ln_1.bias"] = np.asarray(blk["ln1"]["bias"])
+        rows, brows = [], []
+        for name in ("query", "key", "value"):
+            k = np.asarray(blk["attn"][name]["kernel"]).reshape(dim, dim)
+            rows.append(k.T)
+            brows.append(np.asarray(blk["attn"][name]["bias"]).reshape(dim))
+        sd[f"{t}.self_attention.in_proj_weight"] = np.concatenate(rows, 0)
+        sd[f"{t}.self_attention.in_proj_bias"] = np.concatenate(brows, 0)
+        sd[f"{t}.self_attention.out_proj.weight"] = np.asarray(
+            blk["attn"]["out"]["kernel"]).reshape(dim, dim).T
+        sd[f"{t}.self_attention.out_proj.bias"] = np.asarray(
+            blk["attn"]["out"]["bias"])
+        sd[f"{t}.ln_2.weight"] = np.asarray(blk["ln2"]["scale"])
+        sd[f"{t}.ln_2.bias"] = np.asarray(blk["ln2"]["bias"])
+        sd[f"{t}.mlp.0.weight"] = np.asarray(blk["mlp1"]["kernel"]).T
+        sd[f"{t}.mlp.0.bias"] = np.asarray(blk["mlp1"]["bias"])
+        sd[f"{t}.mlp.3.weight"] = np.asarray(blk["mlp2"]["kernel"]).T
+        sd[f"{t}.mlp.3.bias"] = np.asarray(blk["mlp2"]["bias"])
+    return sd
+
+
+def test_init_from_torch_vit_fit_and_resume(tmp_path, demo_h5):
+    """ViT arm of train.init_from_torch end-to-end through fit(), THEN a
+    second train() call resuming from the saved checkpoint. A BN-free ViT
+    init has no batch_stats entry for its encoders; the import merge must
+    not create an empty-dict node there, or every checkpoint becomes
+    unrestorable against a fresh create_state template (orbax 'tree
+    structures do not match') and preemption-resume dies (ADVICE r3)."""
+    import rgb_proprioceptive_pose_estimator_tpu as rppe
+    from rgb_proprioceptive_pose_estimator_tpu.utils.checkpoint import (
+        restore_variables,
+    )
+
+    mkw = {
+        "model.backbone": "vit",
+        "model.image_size": 32,
+        "model.vit_patch": 16,
+        "model.vit_dim": 32,
+        "model.vit_depth": 2,
+        "model.vit_heads": 4,
+        "model.vit_pool": "cls",
+        "model.image_features": 32,
+        "model.head_hidden": [32],
+        "model.use_proprio": False,
+    }
+    mcfg = rppe.preset("pr2").override(**mkw).model
+    donor = build_model(mcfg)
+    v = donor.init(jax.random.PRNGKey(99), example_batch(mcfg, 1),
+                   train=False)
+    assert "batch_stats" not in v  # precondition: ViT is BN-free
+    sd = _fake_torch_vit_sd_from_flax(v["params"]["encoder_agentview"],
+                                      depth=2, heads=4)
+    npz = tmp_path / "vit.npz"
+    np.savez(npz, **sd)
+
+    cfg = rppe.preset("pr2").override(**mkw, **{
+        "data.path": demo_h5,
+        "data.batch_size": 8,
+        "data.num_workers": 0,
+        "train.steps": 2,
+        "train.seed": 0,
+        "train.log_every": 1,
+        "train.eval_every": 0,
+        "train.ckpt_every": 2,
+        "train.ckpt_dir": str(tmp_path / "ckpt"),
+        "train.init_from_torch": str(npz),
+    })
+    rppe.train(cfg)
+
+    loaded = restore_variables(str(tmp_path / "ckpt"))
+    # no empty batch_stats node was invented for the BN-free encoder
+    assert "encoder_agentview" not in (loaded.get("batch_stats") or {})
+    # imported (frozen-free) backbone keys exist alongside the fresh head
+    assert "block1" in loaded["params"]["encoder_agentview"]
+    assert "pose_out" in loaded["params"]
+
+    # resume: before the fix this raised orbax 'tree structures do not
+    # match' on restore because of the phantom batch_stats entry
+    out = rppe.train(cfg.override(**{"train.steps": 4}))
+    assert int(out["state"].step) == 4
+
+
+def test_load_state_dict_file_rejects_unknown_ext(tmp_path):
+    from rgb_proprioceptive_pose_estimator_tpu.utils.torch_import import (
+        load_state_dict_file,
+    )
+
+    p = tmp_path / "weights.safetensors"
+    p.write_bytes(b"\x00")
+    with pytest.raises(ValueError, match="unsupported state_dict format"):
+        load_state_dict_file(str(p))
+
+
 def test_init_from_torch_npz_through_fit(tmp_path, demo_h5):
     """train.init_from_torch: a torchvision-style .npz state_dict
     initializes every camera encoder inside fit() (the reference's
