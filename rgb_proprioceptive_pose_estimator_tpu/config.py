@@ -641,6 +641,10 @@ def _pr3() -> Config:
             backbone="resnet18", cameras=("agentview",), image_size=128,
             use_proprio=True, image_features=512, proprio_features=128,
             stem_s2d=True,
+            # robosuite robot0_proprio-state is mixed-unit (radians,
+            # meters, rad/s); unnormalized it measured 102.77 cm MAE vs
+            # 9.35 cm normalized (docs/DESIGN.md "Proprio normalization")
+            proprio_normalize=True,
         ),
         data=DataConfig(source="hdf5", batch_size=128, augment=True),
         train=TrainConfig(steps=20000, lr=1e-4, optimizer="adamw",
@@ -658,6 +662,8 @@ def _pr4() -> Config:
             backbone="resnet50", cameras=("agentview",), image_size=224,
             use_proprio=True, image_features=1024, dtype="bfloat16",
             stem_s2d=True,
+            # same mixed-unit robot state as pr3 (102.77 cm unnormalized)
+            proprio_normalize=True,
         ),
         data=DataConfig(source="hdf5", batch_size=256, augment=True,
                         num_workers=16),
@@ -678,6 +684,16 @@ def _pr5() -> Config:
             backbone="resnet18",
             cameras=("agentview", "robot0_eye_in_hand"),
             image_size=128, use_proprio=True, temporal_frames=3,
+            # lstm beat channel-stacking on velocity-dependent labels
+            # (11.52 vs 14.60 cm pos MAE) AND channel lost rot MAE to
+            # single-frame (20.1 vs 17.4 deg) -- docs/DESIGN.md "Temporal"
+            temporal_mode="lstm",
+            # without modality dropout a dual-cam model collapses 9.35 ->
+            # 33-37 cm when one sensor dies; 0.15 costs ~nothing with both
+            # live (docs/DESIGN.md "Dead-camera serving")
+            camera_dropout=0.15,
+            # mixed-unit robot state: 102.77 cm unnormalized (see pr3)
+            proprio_normalize=True,
             dtype="bfloat16", stem_s2d=True,
         ),
         data=DataConfig(source="hdf5", batch_size=1024, augment=True,
