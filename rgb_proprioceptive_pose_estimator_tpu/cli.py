@@ -295,6 +295,13 @@ def main(argv=None) -> int:
                          "requests arriving within this window into one "
                          "compiled device call (0 = off; try 2-5 under "
                          "multi-client load)")
+    ap.add_argument("--max-body-mb", type=float, default=64.0,
+                    help="serve: refuse request bodies above this size "
+                         "with 413 before reading them")
+    ap.add_argument("--read-timeout-s", type=float, default=30.0,
+                    help="serve: per-connection socket timeout; a request "
+                         "stalling mid-body this long gets 408 (0 = no "
+                         "timeout)")
     ap.add_argument("--grid", default="", metavar="SPEC",
                     help='sweep: grid spec "train.lr=1e-3|3e-4; '
                          'model.proprio_dropout=0|0.5" (";" between keys, '
@@ -606,7 +613,9 @@ def main(argv=None) -> int:
                                ckpt_dir=args.ckpt_dir or None,
                                step=ckpt_step, max_batch=args.max_batch,
                                warmup=not args.no_warmup,
-                               coalesce_ms=args.coalesce_ms)
+                               coalesce_ms=args.coalesce_ms,
+                               max_body_mb=args.max_body_mb,
+                               read_timeout_s=args.read_timeout_s or None)
         print(json.dumps({"serving": f"http://{httpd.server_address[0]}:"
                                      f"{httpd.server_address[1]}",
                           **service.health()}), flush=True)

@@ -33,6 +33,28 @@ allows it (model.camera_dropout training or allow_missing_cameras) — the
 dead-camera request runs the cheaper structural-absence signature.
 Malformed requests get 400 with {"error": ...}; everything else 500.
 
+Temporal streaming (temporal_frames > 1 models): instead of re-shipping
+the full (T, ...) window every tick, a client adds a "session" field and
+sends ONE frame per request (single-frame shapes, no T dim):
+
+  POST /predict   {"session": "<opaque id>", "reset": false,
+                   "proprio": [...], "images": {...}}
+
+The server keeps a per-session rolling window (utils/obs_buffer.ObsBuffer
+— same clamp-at-start padding as training) and predicts on the stacked
+window, so frame-by-frame HTTP answers match an in-process ObsBuffer +
+Predictor loop bitwise. "reset": true clears the window first (episode
+boundary). Sessions are evicted after `session_ttl_s` idle seconds or
+beyond `max_sessions` (LRU). Session requests must carry the FULL
+standard frame (every camera, model-width proprio); a stack losing a
+sensor mid-episode should fall back to stateless full-window requests
+with the camera omitted.
+
+Resource limits: request bodies above `max_body_mb` are refused with 413
+before reading (one misbehaving client must not OOM the pose server
+mid-episode); a connection that stalls mid-body for `read_timeout_s` gets
+408 and is closed.
+
 With `cli serve --coalesce-ms W` (PoseService(coalesce_ms=W)), concurrent
 standard-signature requests arriving within a W-millisecond window are
 micro-batched into ONE compiled device call (see PoseService docstring) —
@@ -45,9 +67,10 @@ from __future__ import annotations
 import base64
 import json
 import queue
+import socket
 import threading
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Tuple, Union
 
@@ -107,6 +130,10 @@ def _parse_obs(body: bytes) -> Dict[str, Any]:
         raise BadRequest(f"body is not valid JSON: {e}")
     if not isinstance(req, dict):
         raise BadRequest("body must be a JSON object")
+    return _obs_from_req(req)
+
+
+def _obs_from_req(req: Dict[str, Any]) -> Dict[str, Any]:
     obs: Dict[str, Any] = {}
     if "proprio" in req:
         p = np.asarray(req["proprio"], dtype=np.float32)
@@ -119,6 +146,23 @@ def _parse_obs(body: bytes) -> Dict[str, Any]:
     if not obs:
         raise BadRequest('need "proprio" and/or "images"')
     return obs
+
+
+def _parse_request(body: bytes
+                   ) -> Tuple[Dict[str, Any], Optional[str], bool]:
+    """body -> (obs, session_id, reset). The session/reset fields ride in
+    the same JSON object as the observation (wire protocol above)."""
+    try:
+        req = json.loads(body)
+    except json.JSONDecodeError as e:
+        raise BadRequest(f"body is not valid JSON: {e}")
+    if not isinstance(req, dict):
+        raise BadRequest("body must be a JSON object")
+    session = req.get("session")
+    if session is not None and not isinstance(session, str):
+        raise BadRequest('"session" must be a string id')
+    reset = bool(req.get("reset", False))
+    return _obs_from_req(req), session, reset
 
 
 class _Pending:
@@ -154,7 +198,8 @@ class PoseService:
     def __init__(self, cfg: Config, ckpt_dir: Optional[str] = None,
                  step: Union[int, str, None] = None, max_batch: int = 8,
                  warmup: bool = True, state=None, model=None,
-                 coalesce_ms: float = 0.0):
+                 coalesce_ms: float = 0.0, max_sessions: int = 64,
+                 session_ttl_s: float = 600.0):
         from rgb_proprioceptive_pose_estimator_tpu.api import Predictor
 
         self.cfg = cfg
@@ -171,6 +216,12 @@ class PoseService:
         self._batch_sizes: deque = deque(maxlen=256)   # rolling (mean only)
         self._queue: "queue.SimpleQueue[Optional[_Pending]]" = \
             queue.SimpleQueue()
+        # streaming sessions: id -> (ObsBuffer, last_seen monotonic);
+        # OrderedDict gives LRU eviction order
+        self.max_sessions = int(max_sessions)
+        self.session_ttl_s = float(session_ttl_s)
+        self._sessions: "OrderedDict[str, Tuple[Any, float]]" = OrderedDict()
+        self._session_lock = threading.Lock()
         self._closing = False
         self._worker: Optional[threading.Thread] = None
         if self.coalesce_ms > 0:
@@ -182,8 +233,11 @@ class PoseService:
 
     # -- request paths ----------------------------------------------------
 
-    def predict(self, obs: Dict[str, Any]) -> Dict[str, Any]:
+    def predict(self, obs: Dict[str, Any], session: Optional[str] = None,
+                reset: bool = False) -> Dict[str, Any]:
         t0 = time.perf_counter()
+        if session is not None:
+            obs = self._session_window(session, obs, reset)
         if (self._worker is not None and not self._closing
                 and self._coalescable(obs)):
             item = _Pending(obs)
@@ -214,12 +268,52 @@ class PoseService:
                 "quat_order": "wxyz",
                 "ms": round(ms, 3)}
 
+    def _session_window(self, sid: str, obs: Dict[str, Any],
+                        reset: bool) -> Dict[str, Any]:
+        """Push one frame into the session's rolling window; return the
+        temporally-stacked observation (training-identical clamp-at-start
+        padding via ObsBuffer). The frame must be the FULL standard
+        single-frame signature -- validated BEFORE the push so a malformed
+        request cannot poison the window."""
+        from rgb_proprioceptive_pose_estimator_tpu.utils.obs_buffer import (
+            ObsBuffer,
+        )
+
+        m = self.cfg.model
+        if not self._signature_ok(obs, t=()):
+            raise BadRequest(
+                "session request must carry exactly ONE standard frame: "
+                f"every camera {list(m.cameras) if m.backbone != 'none' else []}"
+                f" at ({m.image_size},{m.image_size},3)"
+                + (f" and proprio ({m.proprio_dim},)" if m.use_proprio
+                   else "") +
+                "; dead-camera clients must use stateless full-window "
+                "requests instead")
+        now = time.monotonic()
+        with self._session_lock:
+            for k in [k for k, (_, seen) in self._sessions.items()
+                      if now - seen > self.session_ttl_s]:
+                del self._sessions[k]
+            entry = self._sessions.pop(sid, None)
+            buf = entry[0] if entry is not None else ObsBuffer(m)
+            if reset:
+                buf.reset()
+            out = buf.push(obs)
+            self._sessions[sid] = (buf, now)     # most-recently-used last
+            while len(self._sessions) > self.max_sessions:
+                self._sessions.popitem(last=False)
+        return out
+
     def _coalescable(self, obs: Dict[str, Any]) -> bool:
         """True iff obs is ONE standard-signature sample: full camera set
         at the model's resolution, proprio of the model's width -- the
         shapes that stack into the already-compiled max_batch call."""
         m = self.cfg.model
         t = () if m.temporal_frames == 1 else (m.temporal_frames,)
+        return self._signature_ok(obs, t)
+
+    def _signature_ok(self, obs: Dict[str, Any], t: Tuple[int, ...]) -> bool:
+        m = self.cfg.model
         if m.use_proprio:
             p = obs.get("proprio")
             if p is None or np.shape(p) != (*t, m.proprio_dim):
@@ -327,6 +421,7 @@ class PoseService:
             "quat_order": "wxyz",
             "requests": self._requests,
             "p50_ms": round(lat[len(lat) // 2], 3) if lat else None,
+            "active_sessions": len(self._sessions),
         }
         if self.coalesce_ms > 0:
             out["coalesce_ms"] = self.coalesce_ms
@@ -348,6 +443,12 @@ class _Handler(BaseHTTPRequestHandler):
     # timer stalls the second write of every request/response ~40 ms --
     # measured 96 ms vs 59 ms p50 batch-1 before this line (bench_serve)
     disable_nagle_algorithm = True
+    # resource limits, overridable via make_server(); `timeout` is the
+    # socketserver per-connection socket timeout -- it bounds a stalled
+    # body read (408 below) and an idle keep-alive connection (closed by
+    # handle_one_request's own socket.timeout handling)
+    max_body_bytes = 64 * 1024 * 1024
+    timeout: Optional[float] = 30.0
 
     def _send(self, code: int, payload: Dict[str, Any]) -> None:
         body = json.dumps(payload).encode()
@@ -373,9 +474,34 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"unknown path {self.path}"})
             return
         try:
-            n = int(self.headers.get("Content-Length", 0))
-            obs = _parse_obs(self.rfile.read(n))
-            self._send(200, self.service.predict(obs))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._send(400, {"error": "invalid Content-Length"})
+                self.close_connection = True
+                return
+            if n > self.max_body_bytes:
+                # refuse BEFORE reading: an unbounded read from one
+                # misbehaving client would OOM the pose server. The body
+                # stays unread, so the connection cannot be reused.
+                self._send(413, {
+                    "error": f"request body {n} bytes exceeds the "
+                             f"{self.max_body_bytes}-byte limit"})
+                self.close_connection = True
+                return
+            body = self.rfile.read(n)
+            if len(body) < n:
+                self._send(400, {"error": "client closed mid-body"})
+                self.close_connection = True
+                return
+            obs, session, reset = _parse_request(body)
+            self._send(200, self.service.predict(obs, session=session,
+                                                 reset=reset))
+        except (socket.timeout, TimeoutError):
+            # stalled mid-body for `timeout` seconds; half-read stream is
+            # unrecoverable -> answer and drop the connection
+            self._send(408, {"error": "timed out reading request body"})
+            self.close_connection = True
         except BadRequest as e:
             self._send(400, {"error": str(e)})
         except (KeyError, ValueError) as e:
@@ -392,17 +518,25 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(service: PoseService, host: str = "127.0.0.1",
-                port: int = 8080) -> ThreadingHTTPServer:
+                port: int = 8080, max_body_mb: float = 64.0,
+                read_timeout_s: Optional[float] = 30.0
+                ) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; port 0 picks a free port
     (read it back from server.server_address)."""
-    handler = type("BoundHandler", (_Handler,), {"service": service})
+    handler = type("BoundHandler", (_Handler,), {
+        "service": service,
+        "max_body_bytes": int(max_body_mb * 1024 * 1024),
+        "timeout": read_timeout_s,
+    })
     return ThreadingHTTPServer((host, port), handler)
 
 
 def serve(cfg: Config, host: str = "127.0.0.1", port: int = 8080,
           ckpt_dir: Optional[str] = None,
           step: Union[int, str, None] = None, max_batch: int = 8,
-          warmup: bool = True, coalesce_ms: float = 0.0
+          warmup: bool = True, coalesce_ms: float = 0.0,
+          max_body_mb: float = 64.0,
+          read_timeout_s: Optional[float] = 30.0
           ) -> Tuple[ThreadingHTTPServer, PoseService]:
     """cli serve entry: restore, warm up, listen. Returns after binding;
     the caller decides between serve_forever() (CLI) and a background
@@ -410,4 +544,5 @@ def serve(cfg: Config, host: str = "127.0.0.1", port: int = 8080,
     service = PoseService(cfg, ckpt_dir=ckpt_dir, step=step,
                           max_batch=max_batch, warmup=warmup,
                           coalesce_ms=coalesce_ms)
-    return make_server(service, host, port), service
+    return make_server(service, host, port, max_body_mb=max_body_mb,
+                       read_timeout_s=read_timeout_s), service

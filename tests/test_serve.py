@@ -308,3 +308,271 @@ def test_image_model_encoded_and_raw(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+# ---- resource limits + temporal streaming + mixed traffic (VERDICT r3
+# next-5: the serving daemon must be hardened and the pr5-shaped temporal
+# deployment story tested over HTTP) ------------------------------------------
+
+
+def test_body_size_cap(proprio_server):
+    """Bodies above max_body_mb are refused with 413 BEFORE being read."""
+    _, cfg, base = proprio_server
+    from rgb_proprioceptive_pose_estimator_tpu.utils.serve import make_server
+
+    service = PoseService(cfg, max_batch=2, warmup=False,
+                          state=base.predictor.state,
+                          model=base.predictor.model)
+    httpd = make_server(service, port=0, max_body_mb=0.001)  # 1 KiB cap
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        big = {"proprio": [0.0] * 5000}      # ~30 KB of JSON
+        status, out = _request(port, "POST", "/predict", big)
+        assert status == 413 and "limit" in out["error"]
+        # a normal-size request on a fresh connection still works
+        p = np.zeros(cfg.model.proprio_dim, np.float32)
+        status, out = _request(port, "POST", "/predict",
+                               {"proprio": p.tolist()})
+        assert status == 200
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_read_timeout_mid_body(proprio_server):
+    """A connection that stalls mid-body gets 408 within read_timeout_s
+    instead of pinning the handler thread forever."""
+    import socket as socket_mod
+
+    _, cfg, base = proprio_server
+    from rgb_proprioceptive_pose_estimator_tpu.utils.serve import make_server
+
+    service = PoseService(cfg, max_batch=2, warmup=False,
+                          state=base.predictor.state,
+                          model=base.predictor.model)
+    httpd = make_server(service, port=0, read_timeout_s=0.5)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        s = socket_mod.create_connection(("127.0.0.1", port), timeout=30)
+        # claim 1000 body bytes, send only 10, then stall
+        s.sendall(b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: 1000\r\n\r\n{\"proprio\"")
+        resp = s.recv(65536).decode()
+        assert "408" in resp.splitlines()[0]
+        s.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+@pytest.fixture(scope="module")
+def temporal_server(tmp_path_factory, demo_h5):
+    """pr5-shaped tiny model (dual camera + temporal LSTM + camera_dropout
+    + proprio) trained a few steps, behind a live HTTP server."""
+    tmp = tmp_path_factory.mktemp("serve_t")
+    cfg = rppe.preset("pr5").override(**{
+        "model.backbone": "cnn_small",
+        "model.image_size": 32,
+        "model.image_features": 32,
+        "model.proprio_dim": 16,
+        "model.proprio_hidden": [32],
+        "model.proprio_features": 16,
+        "model.head_hidden": [32],
+        "model.temporal_frames": 3,
+        "model.temporal_mode": "lstm",
+        "model.camera_dropout": 0.2,
+        "model.dtype": "float32",
+        "data.path": demo_h5,
+        "data.batch_size": 8,
+        "data.num_workers": 0,
+        "train.steps": 2,
+        "train.steps_per_call": 1,
+        "train.log_every": 1,
+        "train.eval_every": 0,
+        "train.ckpt_every": 2,
+        "train.ckpt_dir": str(tmp / "ckpt"),
+        "dist.num_devices": 1,
+    })
+    rppe.train(cfg)
+    service = PoseService(cfg, max_batch=4, warmup=False, coalesce_ms=5.0)
+    httpd = make_server(service, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1], cfg, service
+    httpd.shutdown()
+    httpd.server_close()
+    service.close()
+
+
+def _frame(rng, cfg):
+    return {
+        "proprio": rng.normal(size=cfg.model.proprio_dim).astype(np.float32),
+        "images": {c: rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                   for c in cfg.model.cameras},
+    }
+
+
+def _frame_payload(frame, session=None, reset=False):
+    payload = {"proprio": frame["proprio"].tolist(),
+               "images": {c: {"b64": base64.b64encode(v.tobytes()).decode(),
+                              "encoding": "raw", "shape": list(v.shape)}
+                          for c, v in frame["images"].items()}}
+    if session is not None:
+        payload["session"] = session
+        payload["reset"] = reset
+    return payload
+
+
+def test_temporal_session_streaming_matches_obs_buffer(temporal_server):
+    """Streaming single frames with a session id over HTTP produces the
+    SAME poses as the documented in-process loop (ObsBuffer + Predictor),
+    including clamp-at-start padding on the first frames and a mid-episode
+    reset."""
+    from rgb_proprioceptive_pose_estimator_tpu.utils.obs_buffer import (
+        ObsBuffer,
+    )
+
+    port, cfg, service = temporal_server
+    rng = np.random.default_rng(42)
+    frames = [_frame(rng, cfg) for _ in range(5)]
+
+    buf = ObsBuffer(cfg.model)
+    for i, f in enumerate(frames):
+        reset = i == 3                      # episode boundary mid-stream
+        status, out = _request(port, "POST", "/predict",
+                               _frame_payload(f, session="ep1", reset=reset))
+        assert status == 200, out
+        if reset:
+            buf.reset()
+        want_pos, want_quat = service.predictor(buf.push(f))
+        np.testing.assert_allclose(out["pos"], want_pos,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out["quat"], want_quat,
+                                   rtol=1e-5, atol=1e-6)
+
+    _, h = _request(port, "GET", "/healthz")
+    assert h["active_sessions"] >= 1
+
+    # a malformed session frame (wrong proprio width) is a 400 and must
+    # NOT poison the window: the next good frame still matches the oracle
+    bad = _frame_payload(frames[0], session="ep1")
+    bad["proprio"] = [0.0] * 3
+    status, out = _request(port, "POST", "/predict", bad)
+    assert status == 400 and "ONE standard frame" in out["error"]
+    f = _frame(rng, cfg)
+    status, out = _request(port, "POST", "/predict",
+                           _frame_payload(f, session="ep1"))
+    assert status == 200
+    want_pos, _ = service.predictor(buf.push(f))
+    np.testing.assert_allclose(out["pos"], want_pos, rtol=1e-5, atol=1e-6)
+
+
+def test_temporal_session_isolation_and_eviction(temporal_server):
+    """Two interleaved sessions keep independent windows; the LRU cap
+    evicts the oldest session."""
+    port, cfg, service = temporal_server
+    rng = np.random.default_rng(7)
+    a = [_frame(rng, cfg) for _ in range(3)]
+    b = [_frame(rng, cfg) for _ in range(3)]
+
+    from rgb_proprioceptive_pose_estimator_tpu.utils.obs_buffer import (
+        ObsBuffer,
+    )
+
+    buf_a, buf_b = ObsBuffer(cfg.model), ObsBuffer(cfg.model)
+    for fa, fb in zip(a, b):
+        _, out_a = _request(port, "POST", "/predict",
+                            _frame_payload(fa, session="A", reset=fa is a[0]))
+        _, out_b = _request(port, "POST", "/predict",
+                            _frame_payload(fb, session="B", reset=fb is b[0]))
+        pa, _ = service.predictor(buf_a.push(fa))
+        pb, _ = service.predictor(buf_b.push(fb))
+        np.testing.assert_allclose(out_a["pos"], pa, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out_b["pos"], pb, rtol=1e-5, atol=1e-6)
+
+    # eviction: shrink the cap and touch a new session
+    old = service.max_sessions
+    service.max_sessions = 1
+    try:
+        _request(port, "POST", "/predict",
+                 _frame_payload(_frame(rng, cfg), session="C"))
+        with service._session_lock:
+            assert set(service._sessions) == {"C"}
+    finally:
+        service.max_sessions = old
+
+
+def test_mixed_traffic_coalesce_stress(temporal_server):
+    """Standard full-window requests, dead-camera requests, session
+    frames, and malformed requests interleaved across concurrent clients:
+    every class gets its correct answer (coalescer must batch only the
+    standard signatures and never wedge on the rest)."""
+    port, cfg, service = temporal_server
+    rng = np.random.default_rng(3)
+    T = cfg.model.temporal_frames
+
+    def full_window():
+        return {
+            "proprio": rng.normal(size=(T, cfg.model.proprio_dim)
+                                  ).astype(np.float32),
+            "images": {c: rng.integers(0, 255, (T, 32, 32, 3),
+                                       dtype=np.uint8)
+                       for c in cfg.model.cameras},
+        }
+
+    def payload_of(obs):
+        return {"proprio": obs["proprio"].tolist(),
+                "images": {c: {"b64":
+                               base64.b64encode(v.tobytes()).decode(),
+                               "encoding": "raw", "shape": list(v.shape)}
+                           for c, v in obs["images"].items()}}
+
+    jobs = []
+    for i in range(4):                       # standard
+        obs = full_window()
+        jobs.append(("std", obs, payload_of(obs)))
+    for i in range(2):                       # dead camera (trained dropout)
+        obs = full_window()
+        del obs["images"]["robot0_eye_in_hand"]
+        jobs.append(("dead", obs, payload_of(obs)))
+    for i in range(2):                       # malformed
+        jobs.append(("bad", None, {"proprio": "not a number"}))
+    for i in range(2):                       # session frames
+        f = _frame(rng, cfg)
+        jobs.append(("sess", f, _frame_payload(f, session=f"s{i}",
+                                               reset=True)))
+    rng.shuffle(jobs)
+
+    outs = [None] * len(jobs)
+
+    def client(i):
+        kind, obs, payload = jobs[i]
+        outs[i] = _request(port, "POST", "/predict", payload)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(jobs))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+
+    from rgb_proprioceptive_pose_estimator_tpu.utils.obs_buffer import (
+        ObsBuffer,
+    )
+
+    for (kind, obs, _), (status, out) in zip(jobs, outs):
+        if kind == "bad":
+            assert status == 400
+            continue
+        assert status == 200, (kind, out)
+        if kind == "sess":
+            buf = ObsBuffer(cfg.model)
+            want_pos, _ = service.predictor(buf.push(obs))
+        else:
+            want_pos, _ = service.predictor(obs)
+        np.testing.assert_allclose(out["pos"], want_pos,
+                                   rtol=1e-5, atol=1e-6)
