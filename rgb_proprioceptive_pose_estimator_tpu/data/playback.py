@@ -391,6 +391,176 @@ def write_states_fixture(path: str, n_demos: int = 2, steps: int = 12,
     return path
 
 
+# ---------------------------------------------------------------------------
+# Flagship-shape states fixture (VERDICT r3 next-4): dual-camera
+# (fixed agentview + wrist-mounted robot0_eye_in_hand -- the pr5 preset's
+# camera pair), 4-dof arm with a grip site, free cube target, and a
+# physical occluder wall that blinds the agentview on roughly the y<0
+# half of the workspace while the wrist camera (which tracks the cube
+# from the arm side) still sees it. Rendered demos from this scene need
+# the full pr5 feature set: dual-camera fusion (per-camera occlusion is
+# PHYSICAL here, line-of-sight through a wall), temporal stacking (the
+# cube moves with constant per-episode velocity, so future-pose labels
+# are single-frame-ambiguous), camera_dropout (dead-sensor serving), and
+# correlated mixed-unit proprio (the arm servos toward the cube, so its
+# joint state carries lagged target information in radians vs the label's
+# meters).
+
+FLAGSHIP_XML = """
+<mujoco model="flagship_fixture">
+  <option gravity="0 0 0"/>
+  <visual><headlight ambient=".45 .45 .45" diffuse=".55 .55 .55"/></visual>
+  <asset>
+    <texture type="skybox" builtin="gradient" rgb1=".35 .45 .55" rgb2=".1 .1 .15" width="128" height="128"/>
+    <texture name="grid" type="2d" builtin="checker" rgb1=".3 .3 .35" rgb2=".45 .45 .5" width="256" height="256"/>
+    <material name="grid" texture="grid" texrepeat="10 10"/>
+  </asset>
+  <worldbody>
+    <light pos="0 0 3" dir="0 0 -1"/>
+    <light pos="1.5 1 2.5" dir="-0.5 -0.3 -1"/>
+    <geom name="floor" type="plane" size="2.5 2.5 .1" material="grid"/>
+    <body name="focus" pos="-0.05 0 0.5"/>
+    <geom name="occluder" type="box" pos="0.62 -0.105 0.46" size=".02 .19 .46" rgba=".55 .45 .35 1"/>
+    <body name="base" pos="-0.55 0 0.15">
+      <geom type="cylinder" size=".07 .15" rgba=".2 .2 .25 1"/>
+      <body name="link1" pos="0 0 .15">
+        <joint name="j1" type="hinge" axis="0 0 1" range="-3 3"/>
+        <geom type="capsule" fromto="0 0 0 .3 0 .1" size=".035" rgba=".2 .4 1 1"/>
+        <body name="link2" pos=".3 0 .1">
+          <joint name="j2" type="hinge" axis="0 1 0" range="-2 2"/>
+          <geom type="capsule" fromto="0 0 0 .28 0 0" size=".03" rgba=".25 .5 .9 1"/>
+          <body name="link3" pos=".28 0 0">
+            <joint name="j3" type="hinge" axis="0 1 0" range="-2 2"/>
+            <geom type="capsule" fromto="0 0 0 .22 0 0" size=".025" rgba=".3 .6 .85 1"/>
+            <body name="wrist" pos=".22 0 0">
+              <joint name="j4" type="hinge" axis="1 0 0" range="-3 3"/>
+              <geom type="box" size=".035 .025 .02" rgba=".85 .8 .2 1"/>
+              <site name="grip" pos=".05 0 0" size=".008" rgba="1 0 0 1"/>
+              <camera name="robot0_eye_in_hand" pos="0 0 .09" zaxis="-1 0 0.45"/>
+            </body>
+          </body>
+        </body>
+      </body>
+    </body>
+    <body name="cube" pos="0.25 0 0.55">
+      <freejoint name="cube_joint"/>
+      <geom type="box" size=".055 .055 .055" rgba="1 .25 .1 1"/>
+      <geom type="box" pos=".055 0 0" size=".004 .032 .032" rgba="0 1 0 1"/>
+      <geom type="box" pos="0 .055 0" size=".032 .004 .032" rgba="0 .3 1 1"/>
+      <geom type="box" pos="0 0 .055" size=".032 .032 .004" rgba="1 1 0 1"/>
+    </body>
+    <camera name="agentview" mode="targetbody" target="focus" pos="1.65 0.25 1.05"/>
+  </worldbody>
+</mujoco>
+"""
+
+# workspace the cube bounces in (visible to the aimed agentview; spans
+# both sides of the occluder's shadow so ~half the steps are occluded)
+_WS_LO = np.array([-0.30, -0.35, 0.35])
+_WS_HI = np.array([0.40, 0.35, 0.70])
+_JNT_LO = np.array([-3.0, -2.0, -2.0, -3.0])
+_JNT_HI = np.array([3.0, 2.0, 2.0, 3.0])
+
+
+def write_flagship_states_fixture(path: str, n_demos: int = 8,
+                                  steps: int = 40, seed: int = 0,
+                                  cube_speed: float = 0.030,
+                                  cube_spin: float = 0.35,
+                                  servo_iters: int = 25,
+                                  standoff: float = 0.32) -> str:
+    """Write a flagship-shape state-playback demo file (robosuite layout:
+    `states` + `model_file` attr, no rendered obs; render with
+    render_playback_dataset / `cli render`).
+
+    Per episode: the cube gets a constant linear velocity (magnitude
+    `cube_speed` per step, reflecting off the workspace box) and a
+    constant body-frame angular velocity (`cube_spin` rad/step scale) --
+    SINGLE-frame pixels cannot reveal velocity, so labels derived from
+    future poses need temporal context. The arm runs a candidate-descent
+    servo toward a `standoff` hover with the wrist camera pointed at the
+    cube, warm-started per step with only `servo_iters` proposals --
+    realistic lagged tracking, so the wrist view usually (not always)
+    contains the target. Needs mujoco for kinematics (no GL)."""
+    import h5py
+
+    mujoco = _import_mujoco()
+    model = mujoco.MjModel.from_xml_string(FLAGSHIP_XML)
+    data = mujoco.MjData(model)
+    gid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_SITE, "grip")
+    cid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_CAMERA,
+                            "robot0_eye_in_hand")
+    nq, nv = model.nq, model.nv          # 11, 10 (4 hinges + free joint)
+    rs = np.random.RandomState(seed)
+
+    def servo_cost(q: np.ndarray, cube: np.ndarray) -> float:
+        data.qpos[:4] = q
+        data.qpos[4:7] = cube
+        mujoco.mj_forward(model, data)
+        d = float(np.linalg.norm(data.site_xpos[gid] - cube))
+        fwd = -data.cam_xmat[cid].reshape(3, 3)[:, 2]
+        to_cube = cube - data.cam_xpos[cid]
+        to_cube = to_cube / (np.linalg.norm(to_cube) + 1e-9)
+        # pointing dominates: a cube outside the wrist camera's ~45 deg
+        # fov is useless however good the standoff is
+        return abs(d - standoff) + 1.2 * (1.0 - float(fwd @ to_cube))
+
+    def servo(q: np.ndarray, cube: np.ndarray, iters: int,
+              restarts: int = 0) -> np.ndarray:
+        best, c0 = q.copy(), servo_cost(q, cube)
+        starts = [q] + [rs.uniform(_JNT_LO, _JNT_HI)
+                        for _ in range(restarts)]
+        for start in starts:
+            cur, cc0 = start.copy(), servo_cost(start, cube)
+            for it in range(iters):
+                step = 0.3 if it < iters // 2 else 0.1
+                cand = np.clip(cur + rs.randn(4) * step, _JNT_LO, _JNT_HI)
+                cc = servo_cost(cand, cube)
+                if cc < cc0:
+                    cur, cc0 = cand, cc
+            if cc0 < c0:
+                best, c0 = cur, cc0
+        return best
+
+    with h5py.File(path, "w") as f:
+        fdata = f.create_group("data")
+        fdata.attrs["env"] = "flagship_states_fixture"
+        fdata.attrs["model_file"] = FLAGSHIP_XML
+        for d in range(n_demos):
+            pos = rs.uniform(_WS_LO, _WS_HI)
+            vel = rs.randn(3)
+            vel = vel / np.linalg.norm(vel) * cube_speed
+            omega = rs.randn(3) * cube_spin          # rad/step, body frame
+            quat = rs.randn(4)
+            quat = quat / np.linalg.norm(quat)
+            q = servo(rs.uniform(-0.5, 0.5, 4), pos, iters=120, restarts=3)
+            prev_q = q.copy()
+            states = np.zeros((steps, 1 + nq + nv), np.float64)
+            for t in range(steps):
+                states[t, 0] = t * 0.05
+                states[t, 1:5] = q
+                states[t, 5:8] = pos
+                states[t, 8:12] = quat
+                # qvel: arm joint rates (finite difference), cube linear
+                # velocity (per-second: /dt), body-frame angular rate
+                states[t, 1 + nq:1 + nq + 4] = (q - prev_q) / 0.05
+                states[t, 1 + nq + 4:1 + nq + 7] = vel / 0.05
+                states[t, 1 + nq + 7:1 + nq + 10] = omega / 0.05
+                # advance: bounce the cube, integrate the spin, re-servo
+                prev_q = q.copy()
+                pos = pos + vel
+                for ax in range(3):
+                    if pos[ax] < _WS_LO[ax] or pos[ax] > _WS_HI[ax]:
+                        vel[ax] = -vel[ax]
+                        pos[ax] = np.clip(pos[ax], _WS_LO[ax], _WS_HI[ax])
+                qn = quat.copy()
+                mujoco.mju_quatIntegrate(qn, omega, 1.0)
+                quat = qn / np.linalg.norm(qn)
+                q = servo(q, pos, iters=servo_iters)
+            g = fdata.create_group(f"demo_{d}")
+            g["states"] = states
+    return path
+
+
 def _render_in_subprocess(**kw) -> Dict[str, int]:
     """Run render_playback_dataset in a child interpreter (see the
     isolate= doc). The child reads kwargs as JSON on stdin and prints the

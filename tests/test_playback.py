@@ -477,3 +477,117 @@ def test_multi_file_same_stem_no_overwrite(tmp_path, capsys):
                  "--set", "model.image_size=32"]) == 0
     rep2 = json.loads(capsys.readouterr().out)
     assert os.path.dirname(rep2["out"]) == out_dir
+
+
+# ---- flagship-shape fixture (VERDICT r3 next-4) -----------------------------
+
+
+@pytest.fixture(scope="module")
+def flagship_rendered(tmp_path_factory):
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        render_playback_dataset,
+        write_flagship_states_fixture,
+    )
+
+    d = tmp_path_factory.mktemp("flagship")
+    src = write_flagship_states_fixture(str(d / "states.hdf5"),
+                                        n_demos=10, steps=12, seed=3)
+    out = str(d / "rendered.hdf5")
+    summary = render_playback_dataset(
+        src, out, cameras=("agentview", "robot0_eye_in_hand"),
+        image_hw=96, target_body="cube")
+    return src, out, summary
+
+
+def _cube_pixels(img):
+    """Count the cube body's saturated-orange pixels (nothing else in the
+    flagship scene shares that color)."""
+    r = img[..., 0].astype(int)
+    g = img[..., 1].astype(int)
+    b = img[..., 2].astype(int)
+    return int(((r > 150) & (g < 120) & (b < 90)).sum())
+
+
+@needs_egl
+def test_flagship_layout_and_proprio_masking(flagship_rendered):
+    """pr5-shaped rendered data: both preset cameras, arm-only proprio
+    (the free cube's 7+6 dofs are the label and must be excluded), unit
+    quaternions."""
+    import h5py
+
+    _, out, summary = flagship_rendered
+    assert summary == {"demos": 10, "frames": 120, "cameras": 2,
+                       "image_hw": 96}
+    with h5py.File(out) as f:
+        g = f["data/demo_0/obs"]
+        assert g["agentview_image"].shape == (12, 96, 96, 3)
+        assert g["robot0_eye_in_hand_image"].shape == (12, 96, 96, 3)
+        assert g["qpos"].shape == (12, 4) and g["qvel"].shape == (12, 4)
+        obj = np.asarray(g["object"])
+        np.testing.assert_allclose(np.linalg.norm(obj[:, 3:], axis=1), 1.0,
+                                   atol=1e-5)
+
+
+@needs_egl
+def test_flagship_physical_occlusion_asymmetry(flagship_rendered):
+    """The occluder wall blinds the agentview on a substantial fraction
+    of frames while the wrist camera (servoing with the arm) still sees
+    the cube -- the PHYSICAL per-camera occlusion that makes dual-camera
+    fusion necessary on this data (measured at scene-design time: ~43%
+    agentview-blind, ~90% wrist-visible, ~1% both-blind)."""
+    import h5py
+
+    _, out, _ = flagship_rendered
+    rows = []
+    with h5py.File(out) as f:
+        for dk in f["data"]:
+            g = f[f"data/{dk}/obs"]
+            av = np.asarray(g["agentview_image"])
+            wr = np.asarray(g["robot0_eye_in_hand_image"])
+            for t in range(av.shape[0]):
+                rows.append((_cube_pixels(av[t]), _cube_pixels(wr[t])))
+    n = len(rows)
+    av_blind = [r for r in rows if r[0] <= 12]
+    wr_sees = sum(1 for r in rows if r[1] > 12)
+    assert len(av_blind) >= 0.15 * n, (
+        f"occluder ineffective: only {len(av_blind)}/{n} agentview-blind")
+    assert len(av_blind) <= 0.75 * n, "agentview nearly always blind"
+    assert wr_sees >= 0.6 * n, f"wrist tracking too weak: {wr_sees}/{n}"
+    # the dual-cam payoff: the wrist covers most agentview-blind frames
+    covered = sum(1 for r in av_blind if r[1] > 12)
+    assert covered >= 0.5 * len(av_blind)
+
+
+def test_flagship_states_velocity_and_tracking(tmp_path):
+    """No GL needed: per-episode cube velocity is constant between
+    bounces (future-pose labels are single-frame-ambiguous -> temporal
+    context has signal) and the arm's base yaw tracks the cube laterally
+    (proprio correlates with the label without copying it)."""
+    import h5py
+
+    from rgb_proprioceptive_pose_estimator_tpu.data.playback import (
+        write_flagship_states_fixture,
+    )
+
+    src = write_flagship_states_fixture(str(tmp_path / "s.hdf5"),
+                                        n_demos=6, steps=20, seed=0)
+    yaws, cube_ys = [], []
+    with h5py.File(src) as f:
+        for dk in f["data"]:
+            st = np.asarray(f[f"data/{dk}/states"])
+            pos = st[:, 5:8]                     # cube qpos
+            d = np.diff(pos, axis=0)
+            speeds = np.linalg.norm(d, axis=1)
+            # most consecutive steps keep the same direction (no bounce)
+            cosims = (d[1:] * d[:-1]).sum(1) / (
+                np.linalg.norm(d[1:], axis=1) * np.linalg.norm(d[:-1], axis=1))
+            assert (cosims > 0.99).mean() > 0.5
+            # constant speed between bounces (a bounce step is shortened
+            # by the wall clip, so test that the vast majority of steps
+            # move at exactly the episode's one speed)
+            med = np.median(speeds)
+            assert (np.abs(speeds - med) < 0.01 * med).mean() > 0.7
+            yaws.extend(st[:, 1])                # j1 base yaw
+            cube_ys.extend(pos[:, 1])
+    corr = np.corrcoef(yaws, cube_ys)[0, 1]
+    assert abs(corr) > 0.3, f"arm does not track the cube (corr={corr:.2f})"
