@@ -216,6 +216,11 @@ ROWS = {
         "model.backbone": "resnet50", "model.image_size": 224,
         "model.dtype": "bfloat16", "model.remat": True,
         "model.image_features": 1024},
+    # the fair same-resolution comparator for the pr4 rung (VERDICT r3
+    # next-1: does ResNet-50 EVER beat ResNet-18? run both at 224 on the
+    # same data/steps; the r3 49.7-deg row had no r18@224 counterpart)
+    "resnet18-224-bf16": {
+        "model.image_size": 224, "model.dtype": "bfloat16"},
     # --- beyond-reference ViT backbone (models/vit.py): held-out MAE on
     # the same fixture as the ResNet-18 "image-only" row, so the two
     # backbones are directly comparable at equal data/steps
