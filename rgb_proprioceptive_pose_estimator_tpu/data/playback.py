@@ -444,12 +444,18 @@ FLAGSHIP_XML = """
     </body>
     <body name="cube" pos="0.25 0 0.55">
       <freejoint name="cube_joint"/>
-      <geom type="box" size=".055 .055 .055" rgba="1 .25 .1 1"/>
-      <geom type="box" pos=".055 0 0" size=".004 .032 .032" rgba="0 1 0 1"/>
-      <geom type="box" pos="0 .055 0" size=".032 .004 .032" rgba="0 .3 1 1"/>
-      <geom type="box" pos="0 0 .055" size=".032 .032 .004" rgba="1 1 0 1"/>
+      <geom type="box" size=".075 .075 .075" rgba="1 .25 .1 1"/>
+      <!-- all SIX faces uniquely marked: any visible face triple fully
+           determines orientation (3 marked faces leave a whole SO(3)
+           region plate-free and measured rotation at chance) -->
+      <geom type="box" pos=".075 0 0" size=".005 .048 .048" rgba="0 1 0 1"/>
+      <geom type="box" pos="-.075 0 0" size=".005 .048 .048" rgba="1 0 1 1"/>
+      <geom type="box" pos="0 .075 0" size=".048 .005 .048" rgba="0 .3 1 1"/>
+      <geom type="box" pos="0 -.075 0" size=".048 .005 .048" rgba="0 1 1 1"/>
+      <geom type="box" pos="0 0 .075" size=".048 .048 .005" rgba="1 1 0 1"/>
+      <geom type="box" pos="0 0 -.075" size=".048 .048 .005" rgba="1 1 1 1"/>
     </body>
-    <camera name="agentview" mode="targetbody" target="focus" pos="1.65 0.25 1.05"/>
+    <camera name="agentview" mode="targetbody" target="focus" pos="1.30 0.20 0.85" fovy="32"/>
   </worldbody>
 </mujoco>
 """

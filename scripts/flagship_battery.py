@@ -5,14 +5,14 @@
 Data: the flagship playback scene (data/playback.py
 write_flagship_states_fixture) — a 4-dof arm with a wrist camera servoing
 toward a constant-velocity free cube, agentview physically occluded by a
-wall on ~43% of frames — rendered through the state-playback converter at
+wall on ~41% of frames — rendered through the state-playback converter at
 training scale, then re-labeled with LOOKAHEAD poses (label[t] =
 cube pose at t+K): a robotically-motivated prediction target (where will
 the object be when the gripper arrives) that a single frame cannot
 resolve, because per-episode velocity is constant but invisible in one
 image. One dataset therefore needs EVERYTHING the pr5 flagship ships:
 
-  dual-camera fusion   — the wall blinds agentview on ~43% of frames
+  dual-camera fusion   — the wall blinds agentview on ~41% of frames
   temporal LSTM        — lookahead labels need velocity across frames
   camera_dropout       — dead-sensor serving (eval_drop rows)
   proprio (normalized) — the servoing arm's mixed-unit joint state
@@ -127,12 +127,12 @@ def main() -> None:
     rendered = os.path.join(args.out, "rendered.hdf5")
     la = os.path.join(args.out, f"rendered_la{args.lookahead}.hdf5")
     if not os.path.exists(states):
-        # cube_spin 0.18 rad/step (~10 deg/frame): fast enough that the
+        # cube_spin 0.10 rad/step (~6 deg/frame): fast enough that the
         # K-step lookahead rotation is material, slow enough that a
         # 3-frame window can actually estimate the rate
         write_flagship_states_fixture(states, n_demos=args.demos,
                                       steps=args.demo_steps, seed=42,
-                                      cube_spin=0.18)
+                                      cube_spin=0.10)
         print(json.dumps({"states": states}), flush=True)
     if not os.path.exists(rendered):
         s = render_playback_dataset(

@@ -533,8 +533,8 @@ def test_flagship_physical_occlusion_asymmetry(flagship_rendered):
     """The occluder wall blinds the agentview on a substantial fraction
     of frames while the wrist camera (servoing with the arm) still sees
     the cube -- the PHYSICAL per-camera occlusion that makes dual-camera
-    fusion necessary on this data (measured at scene-design time: ~43%
-    agentview-blind, ~90% wrist-visible, ~1% both-blind)."""
+    fusion necessary on this data (measured at scene-design time: ~41%
+    agentview-blind, ~93% wrist-visible, ~0% both-blind)."""
     import h5py
 
     _, out, _ = flagship_rendered
