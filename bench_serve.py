@@ -278,6 +278,70 @@ def main() -> None:
     multi_client_run("http_multiclient_solo", 0.0)
     multi_client_run("http_multiclient_coalesced", args.coalesce_ms)
 
+    # --- 1e. temporal model over HTTP: session streaming vs full-window --
+    # a temporal_frames=T model served statelessly re-ships the whole
+    # (T, H, W, 3) window every control tick; the "session" protocol
+    # (utils/serve.py) ships ONE frame and lets the server keep the
+    # rolling window. Same compiled call either way -- the contrast is
+    # payload bytes (network of the robot cell) and the end-to-end
+    # latency that goes with shipping/parsing T x the pixels.
+    cfg_t = cfg.override(**{"model.temporal_frames": 3,
+                            "model.temporal_mode": "lstm"})
+    model_t = build_model(cfg_t.model)
+    state_t = create_state(cfg_t, make_optimizer(cfg_t.train), seed=0)
+    svc_t = PoseService(cfg_t, state=state_t, model=model_t,
+                        max_batch=args.max_batch, warmup=True)
+    hs_t = make_server(svc_t, port=0)
+    th_t = threading.Thread(target=hs_t.serve_forever, daemon=True)
+    th_t.start()
+    pt = hs_t.server_address[1]
+    b1 = example_batch(cfg_t.model, batch_size=1)
+    frames = {c: np.asarray(v[0], np.uint8)
+              for c, v in b1["images"].items()}         # (T, H, W, 3)
+    prop_t = np.asarray(b1["proprio"][0], np.float32)   # (T, D)
+
+    def payload_window():
+        return json.dumps({
+            "proprio": prop_t.tolist(),
+            "images": {c: {"b64": base64.b64encode(v.tobytes()).decode(),
+                           "encoding": "raw", "shape": list(v.shape)}
+                       for c, v in frames.items()},
+        })
+
+    def payload_frame(reset):
+        return json.dumps({
+            "session": "bench", "reset": reset,
+            "proprio": prop_t[0].tolist(),
+            "images": {c: {"b64": base64.b64encode(v[0].tobytes()).decode(),
+                           "encoding": "raw", "shape": list(v[0].shape)}
+                       for c, v in frames.items()},
+        })
+
+    conn_t = http.client.HTTPConnection("127.0.0.1", pt, timeout=60)
+    conn_t.connect()
+    conn_t.sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+
+    def http_call_t(payload):
+        conn_t.request("POST", "/predict", body=payload,
+                       headers={"Content-Type": "application/json"})
+        resp = conn_t.getresponse()
+        body = resp.read()
+        assert resp.status == 200, body
+
+    pw = payload_window()
+    pf = payload_frame(False)
+    http_call_t(payload_frame(True))        # open the session
+    results["http_temporal_fullwindow_end_to_end"] = {
+        **time_calls(lambda: http_call_t(pw), args.calls),
+        "payload_bytes": len(pw)}
+    results["http_temporal_session_frame_end_to_end"] = {
+        **time_calls(lambda: http_call_t(pf), args.calls),
+        "payload_bytes": len(pf)}
+    conn_t.close()
+    hs_t.shutdown()
+    hs_t.server_close()
+    svc_t.close()
+
     # --- 2. loaded StableHLO export --------------------------------------
     path = "/tmp/rppe_serve_bench.rppe"
     export_predictor(path, cfg, state=state, max_batch=args.max_batch)
