@@ -200,6 +200,15 @@ class DataConfig:
     # list concatenated along the feature dim in order (robomimic often
     # stores them separately: "obs/cube_pos,obs/cube_quat")
     target_key: str = "obs/object"
+    # predictive pose targets (hdf5 only): train against the target's pose
+    # K steps AHEAD of the observation (label[t] = pose[t+K]) -- "where
+    # will the object be when the gripper arrives". Each demo's last K
+    # steps are excluded from the sample index so every label exists;
+    # a single frame cannot resolve the object's velocity, so K > 0
+    # typically needs model.temporal_frames > 1 (measured:
+    # scripts/flagship_battery.py, docs/DESIGN.md). 0 = estimate the
+    # current pose (reference behavior).
+    target_lookahead: int = 0
     # augmentation (C2, BASELINE.json:5,10). Applied on host in uint8;
     # normalize happens on device fused into the model input stage.
     #
@@ -309,6 +318,13 @@ class DataConfig:
         if self.max_demos < 0:
             raise ValueError(
                 f"data.max_demos must be >= 0, got {self.max_demos}")
+        if self.target_lookahead < 0:
+            raise ValueError(f"data.target_lookahead must be >= 0, got "
+                             f"{self.target_lookahead}")
+        if self.target_lookahead > 0 and self.source != "hdf5":
+            raise ValueError(
+                "data.target_lookahead applies to the hdf5 source only "
+                "(synthetic data has no trajectory time axis)")
         if self.val_path:
             if self.val_fraction > 0:
                 raise ValueError(

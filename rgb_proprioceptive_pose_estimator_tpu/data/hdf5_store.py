@@ -85,6 +85,10 @@ class HDF5DemoStore:
         image_key_format: str = "obs/{camera}_image",
         proprio_key: str = "obs/robot0_proprio-state",
         target_key: str = "obs/object",
+        # predictive targets: label[t] = target pose at t + K within the
+        # same demo; the last K steps of every demo are excluded from the
+        # sample index so every label exists (data.target_lookahead)
+        target_lookahead: int = 0,
         use_proprio: bool = True,
         use_native: bool = True,               # C++ augment engine if built
         cache_images: Optional[bool] = None,   # None = auto (< 4 GiB)
@@ -136,6 +140,10 @@ class HDF5DemoStore:
         # and the [:3]=pos / [3:7]=quat convention applies to the result
         self.target_keys = tuple(
             k.strip() for k in target_key.split(",") if k.strip())
+        if target_lookahead < 0:
+            raise ValueError(
+                f"target_lookahead must be >= 0, got {target_lookahead}")
+        self.target_lookahead = int(target_lookahead)
         self.use_proprio = use_proprio
         self.use_native = use_native
         self.device_aug_hw = device_aug_hw
@@ -290,7 +298,11 @@ class HDF5DemoStore:
                         img_bytes += int(ds.id.get_storage_size())
                     else:
                         img_bytes += int(np.prod(ds.shape)) * ds.dtype.itemsize
-                index.extend((di, t) for t in range(steps))
+                # predictive targets: a sample needs its t+K label inside
+                # the same demo, so the last K steps carry no sample
+                # (a demo shorter than K+1 contributes none)
+                index.extend((di, t)
+                             for t in range(steps - self.target_lookahead))
         finally:
             for f in fhs:
                 f.close()
@@ -541,8 +553,12 @@ class HDF5DemoStore:
             proprio = self._proprio_flat[flat_idx]     # (n, tf, D)
             batch["proprio"] = proprio[:, 0] if tf == 1 else proprio
 
-        tpos = self._pos_flat[flat_idx[:, -1]].copy()   # (n, 3)
-        tquat = self._quat_flat[flat_idx[:, -1]].copy()
+        # label index: the LAST window frame, shifted K steps ahead for
+        # predictive targets (in-range by construction: the index build
+        # excluded each demo's last K steps)
+        lab = flat_idx[:, -1] + self.target_lookahead
+        tpos = self._pos_flat[lab].copy()               # (n, 3)
+        tquat = self._quat_flat[lab].copy()
         if flips is not None and flips.any():
             # mirror the label with the image (ops/pose_math.mirror_pose
             # semantics, numpy): reflect pos about the plane, conjugate the

@@ -91,6 +91,7 @@ def build_dataset(cfg: Config, split: str = "all"):
             image_key_format=d.image_key_format,
             proprio_key=d.proprio_key,
             target_key=d.target_key,
+            target_lookahead=d.target_lookahead,
             use_proprio=m.use_proprio,
             use_native=d.use_native,
             device_aug_hw=(m.image_size + 2 * d.crop_margin

@@ -80,7 +80,12 @@ ROWS = {
 def derive_lookahead(src: str, dst: str, k: int) -> None:
     """Write a copy of a rendered demo file where obs/object[t] is the
     pose at t+k (each demo truncated by k steps so every label exists).
-    Images/proprio stay at time t — the estimator must extrapolate."""
+    Images/proprio stay at time t — the estimator must extrapolate.
+
+    NOTE: the framework now ships this as a config knob
+    (data.target_lookahead, r4) producing identical (obs, label) pairs
+    without materializing a derived file; the battery keeps the file
+    form so its runs are exactly reproducible against the artifact."""
     import h5py
 
     with h5py.File(src, "r") as s, h5py.File(dst, "w") as d:

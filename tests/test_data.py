@@ -759,3 +759,59 @@ def test_fixture_label_outliers_corrupt_labels_not_pixels(tmp_path):
             n_bad += int(diff.sum())
             n_total += diff.size
     assert 0.10 <= n_bad / n_total <= 0.45   # ~0.25, binomial slack
+
+
+def test_target_lookahead_shifts_labels(demo_h5):
+    """data.target_lookahead=K: label[t] = pose[t+K] within the demo; the
+    last K steps carry no sample (every label exists); images/proprio stay
+    at time t."""
+    import h5py
+
+    k = 3
+    base = HDF5DemoStore(demo_h5, cameras=("agentview",), image_size=64,
+                         proprio_key="obs/robot0_proprio-state")
+    store = HDF5DemoStore(demo_h5, cameras=("agentview",), image_size=64,
+                          proprio_key="obs/robot0_proprio-state",
+                          target_lookahead=k)
+    # 3 demos x 20 steps; K excluded per demo
+    assert len(base) == 60 and len(store) == 3 * (20 - k)
+
+    with h5py.File(demo_h5) as f:
+        obj0 = np.asarray(f["data/demo_0/obs/object"])
+    idx = np.arange(5)                   # (demo_0, t=0..4)
+    b = store.get_batch(idx, augment=False, seed=0)
+    bb = base.get_batch(idx, augment=False, seed=0)
+    # labels come from t+K...
+    np.testing.assert_allclose(b["target_pos"], obj0[k:k + 5, :3],
+                               atol=1e-6)
+    # ...while the observation side is unchanged (same frames/proprio)
+    np.testing.assert_array_equal(b["images"]["agentview"],
+                                  bb["images"]["agentview"])
+    np.testing.assert_allclose(b["proprio"], bb["proprio"], atol=1e-6)
+
+    # temporal windows compose with lookahead: window ends at t, label at
+    # t+K; the last in-range sample of demo_0 is t = 19 - K
+    store_t = HDF5DemoStore(demo_h5, cameras=("agentview",), image_size=64,
+                            proprio_key="obs/robot0_proprio-state",
+                            temporal_frames=2, target_lookahead=k)
+    last = 20 - k - 1
+    bt = store_t.get_batch(np.array([last]), augment=False, seed=0)
+    np.testing.assert_allclose(bt["target_pos"][0], obj0[last + k, :3],
+                               atol=1e-6)
+    assert bt["images"]["agentview"].shape == (1, 2, 64, 64, 3)
+
+
+def test_target_lookahead_config_plumbing(demo_h5):
+    """build_dataset plumbs data.target_lookahead; synthetic rejects it."""
+    cfg = Config(
+        model=ModelConfig(backbone="cnn_small", image_size=64,
+                          cameras=("agentview",), use_proprio=False,
+                          image_features=32, head_hidden=(32,)),
+        data=DataConfig(source="hdf5", path=demo_h5, target_lookahead=2),
+    )
+    ds = build_dataset(cfg)
+    assert len(ds) == 3 * 18
+    with pytest.raises(ValueError, match="hdf5 source only"):
+        Config(data=DataConfig(source="synthetic", target_lookahead=2))
+    with pytest.raises(ValueError, match=">= 0"):
+        Config(data=DataConfig(source="hdf5", path="x", target_lookahead=-1))
