@@ -306,6 +306,18 @@ class HDF5DemoStore:
         finally:
             for f in fhs:
                 f.close()
+        if not index:
+            # np.asarray([]) would be 1-D and every later self._index[...]
+            # gather would fail with a cryptic IndexError (ADVICE r4)
+            n_steps = [p.shape[0] for p in self._pos]
+            raise ValueError(
+                f"target_lookahead={self.target_lookahead} leaves zero "
+                f"samples: every demo needs at least "
+                f"{self.target_lookahead + 1} steps, but the "
+                f"{len(n_steps)} matched demos have "
+                f"{min(n_steps)}..{max(n_steps)}" if n_steps else
+                f"{self.paths}: no demos matched (check data.filter_key / "
+                "the file's data/ group)")
         self._index = np.asarray(index, dtype=np.int64)
         self.proprio_dim = (
             self._proprio[0].shape[-1] if (use_proprio and self._proprio) else 0)

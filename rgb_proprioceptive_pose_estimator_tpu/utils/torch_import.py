@@ -43,18 +43,26 @@ def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
       - ``.npz``: a numpy archive whose entry names are the torch
         state_dict keys (``np.savez(path, **{k: v.numpy() ...})``) --
         torch-free, the recommended interchange format.
-      - anything else (``.pt``/``.pth``): a torch-pickled state_dict,
-        loaded via ``torch.load(weights_only=True)``. torch is imported
-        lazily here only -- the product compute path stays torch-free
-        (SURVEY.md section 8 env note).
+      - anything else (``.pt``/``.pth``/``.bin``/``.ckpt``): a
+        torch-pickled state_dict, loaded via
+        ``torch.load(weights_only=True)``. torch is imported lazily here
+        only -- the product compute path stays torch-free (SURVEY.md
+        section 8 env note). An unrecognized extension warns and still
+        attempts the torch load (published checkpoints use many suffixes;
+        a hard whitelist was an ADVICE-r4-flagged behavior regression) --
+        weights_only=True keeps the attempt pickle-safe either way.
     """
     if path.endswith(".npz"):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
-    if not path.endswith((".pt", ".pth")):
-        raise ValueError(
-            f"{path}: unsupported state_dict format; expected .npz (numpy "
-            "archive of state_dict keys) or .pt/.pth (torch-pickled)")
+    if not path.endswith((".pt", ".pth", ".bin", ".ckpt")):
+        import warnings
+
+        warnings.warn(
+            f"{path}: unrecognized state_dict extension; attempting "
+            "torch.load(weights_only=True) anyway. Expected .npz (numpy "
+            "archive) or a torch-pickled .pt/.pth/.bin/.ckpt.",
+            stacklevel=2)
     try:
         import torch
     except ImportError as e:

@@ -74,6 +74,12 @@ ROWS = {
     # context row: same data WITHOUT lookahead labels (current pose) --
     # the task-difficulty floor the lookahead task sits above
     "ref current-pose (composition)": {**FULL, "_data": "rendered"},
+    # VERDICT r4 next-1: the measured continuous-rotation knob
+    # (model.rot_rep="rot6d", -30% rot MAE image-only on the drawn
+    # fixture) inside the full composition, in exactly its documented
+    # regime (orientation regressed from pixels: the servoing arm's
+    # proprio does not contain the cube quat)
+    "pr5-full (rot6d)": {**FULL, "model.rot_rep": "rot6d"},
 }
 
 

@@ -801,6 +801,16 @@ def test_target_lookahead_shifts_labels(demo_h5):
     assert bt["images"]["agentview"].shape == (1, 2, 64, 64, 3)
 
 
+def test_target_lookahead_exhausting_demos_is_clear_error(demo_h5):
+    """target_lookahead >= every demo's length leaves zero samples; that
+    must be a ValueError naming the knob and the demo lengths, not a
+    cryptic 1-D-index crash later (ADVICE r4)."""
+    with pytest.raises(ValueError, match="target_lookahead=20 leaves zero"):
+        HDF5DemoStore(demo_h5, cameras=("agentview",), image_size=64,
+                      proprio_key="obs/robot0_proprio-state",
+                      target_lookahead=20)   # demos are 20 steps each
+
+
 def test_target_lookahead_config_plumbing(demo_h5):
     """build_dataset plumbs data.target_lookahead; synthetic rejects it."""
     cfg = Config(

@@ -266,15 +266,34 @@ def test_init_from_torch_vit_fit_and_resume(tmp_path, demo_h5):
     assert int(out["state"].step) == 4
 
 
-def test_load_state_dict_file_rejects_unknown_ext(tmp_path):
+def test_load_state_dict_file_extensions(tmp_path):
+    """Torch-pickled state_dicts load under the common published-checkpoint
+    suffixes (.pt/.pth/.bin/.ckpt) silently; an unrecognized extension
+    warns but still attempts the (weights_only) torch load instead of
+    hard-failing -- ADVICE r4 flagged the hard whitelist as a behavior
+    regression for existing init_from_torch users."""
+    import warnings
+
+    import torch
+
     from rgb_proprioceptive_pose_estimator_tpu.utils.torch_import import (
         load_state_dict_file,
     )
 
-    p = tmp_path / "weights.safetensors"
-    p.write_bytes(b"\x00")
-    with pytest.raises(ValueError, match="unsupported state_dict format"):
-        load_state_dict_file(str(p))
+    sd = {"w": torch.ones(2, 3)}
+    for ext in (".pt", ".bin", ".ckpt"):
+        p = tmp_path / f"weights{ext}"
+        torch.save(sd, str(p))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")     # no warning on known exts
+            out = load_state_dict_file(str(p))
+        np.testing.assert_array_equal(out["w"], np.ones((2, 3)))
+
+    p = tmp_path / "weights.oddext"
+    torch.save(sd, str(p))
+    with pytest.warns(UserWarning, match="unrecognized state_dict"):
+        out = load_state_dict_file(str(p))
+    np.testing.assert_array_equal(out["w"], np.ones((2, 3)))
 
 
 def test_init_from_torch_npz_through_fit(tmp_path, demo_h5):

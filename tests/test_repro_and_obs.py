@@ -71,6 +71,50 @@ def test_obs_buffer_windows_match_training_semantics():
                                   o3["images"]["agentview"])
 
 
+def test_obs_buffer_dead_camera_whole_window_semantics():
+    """A camera missing from ANY frame of the window is omitted from the
+    stacked obs (the camera_dropout-consistent whole-window structural
+    absence, utils/obs_buffer.py docstring) and revives after T
+    consecutive live frames."""
+    cfg = ModelConfig(backbone="cnn_small", image_size=32, temporal_frames=3,
+                      cameras=("agentview", "wrist"), use_proprio=True,
+                      proprio_dim=4)
+    buf = ObsBuffer(cfg)
+    obs = [_single_obs(i, cfg) for i in range(8)]
+    for o in obs[3:5]:                      # wrist dies for frames 3-4
+        del o["images"]["wrist"]
+
+    for i in (0, 1, 2):
+        w = buf.push(obs[i])
+        assert set(w["images"]) == {"agentview", "wrist"}
+        assert buf.dead_cameras() == []
+        assert len(buf) == i + 1
+
+    w = buf.push(obs[3])                    # window 1,2,3 -> wrist dead
+    assert set(w["images"]) == {"agentview"}
+    assert buf.dead_cameras() == ["wrist"]
+    # the live camera still stacks normally
+    np.testing.assert_array_equal(w["images"]["agentview"][0],
+                                  obs[1]["images"]["agentview"])
+    assert w["proprio"].shape == (3, 4)
+
+    buf.push(obs[4])                        # window 2,3,4 -> still dead
+    w = buf.push(obs[5])                    # window 3,4,5 -> still dead
+    assert set(w["images"]) == {"agentview"}
+    w = buf.push(obs[6])                    # window 4,5,6 -> still dead
+    assert buf.dead_cameras() == ["wrist"]
+    w = buf.push(obs[7])                    # window 5,6,7: all live again
+    assert set(w["images"]) == {"agentview", "wrist"}
+    assert buf.dead_cameras() == []
+
+    # clamp-at-start padding replicates a first frame's absence
+    buf.reset()
+    first = _single_obs(20, cfg)
+    del first["images"]["agentview"]
+    w = buf.push(first)
+    assert set(w["images"]) == {"wrist"} and len(buf) == 1
+
+
 def test_obs_buffer_t1_passthrough():
     cfg = ModelConfig(backbone="none", cameras=(), use_proprio=True,
                       proprio_dim=4, temporal_frames=1)
