@@ -723,12 +723,30 @@ def _pr5() -> Config:
     )
 
 
+def _pr5la() -> Config:
+    """pr5 with PREDICTIVE pose targets: label[t] = pose at t+6
+    (data.target_lookahead=6) -- "where will the object be when the
+    gripper arrives", the robotically-motivated variant of the flagship
+    config. K=6 is the measured choice: at the flagship scene's motion
+    scale the K=6 offset (~18 cm / ~34 deg) clears the task's error
+    floor, where K=2's (~6 cm) sits below it and temporal context cannot
+    pay for itself (docs/DESIGN.md "Full-composition battery", the K=6
+    supplement). The temporal LSTM it relies on is pr5's own; everything
+    else is unchanged. One-command reproduction of the K=6 composition
+    row: examples/predictive_pose.py."""
+    return _pr5().override(**{
+        "name": "pr5la_predictive_lookahead6",
+        "data.target_lookahead": 6,
+    })
+
+
 PRESETS = {
     "pr1": _pr1,
     "pr2": _pr2,
     "pr3": _pr3,
     "pr4": _pr4,
     "pr5": _pr5,
+    "pr5la": _pr5la,
 }
 
 

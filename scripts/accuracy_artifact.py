@@ -221,6 +221,26 @@ ROWS = {
     # same data/steps; the r3 49.7-deg row had no r18@224 counterpart)
     "resnet18-224-bf16": {
         "model.image_size": 224, "model.dtype": "bfloat16"},
+    # --- VERDICT r4 next-3: isolate the 224-resolution regression -------
+    # (r18@224 measured ~4 cm / ~14 deg WORSE than the 128 rung at every
+    # data scale tried). Same backbone + dtype + proprio at both
+    # resolutions, aug on/off, plus the fixture's native 160: is the cost
+    # the resolution rung itself, its interaction with the random-crop
+    # aug, or the 160->224 upsample? (The stored fixture is 160 px: the
+    # 128 rung downsamples, the 224 rung upsamples; crop is relatively
+    # GENTLER at 224 -- 224/232 vs 128/136 of the frame.)
+    "resnet18-128-bf16": {
+        "model.image_size": 128, "model.dtype": "bfloat16"},
+    "resnet18-160-bf16": {
+        "model.image_size": 160, "model.dtype": "bfloat16"},
+    "resnet18-128-bf16 (no-aug)": {
+        "model.image_size": 128, "model.dtype": "bfloat16",
+        "data.augment": False, "data.augment_device": False,
+        "data.crop_margin": 0},
+    "resnet18-224-bf16 (no-aug)": {
+        "model.image_size": 224, "model.dtype": "bfloat16",
+        "data.augment": False, "data.augment_device": False,
+        "data.crop_margin": 0},
     # --- beyond-reference ViT backbone (models/vit.py): held-out MAE on
     # the same fixture as the ResNet-18 "image-only" row, so the two
     # backbones are directly comparable at equal data/steps

@@ -139,8 +139,8 @@ def test_checked_in_cfg_files_match_presets():
     meant the artifacts no longer described the configs they named).
     Regenerate with:
       python -c "from rgb_proprioceptive_pose_estimator_tpu.config import \
-preset; [open(f'cfg/{n}.json','w').write(preset(n).to_json()+'\\n') \
-for n in ('pr1','pr2','pr3','pr4','pr5')]"
+PRESETS, preset; [open(f'cfg/{n}.json','w').write(preset(n).to_json()+'\\n') \
+for n in PRESETS]"
     """
     import json
     import os

@@ -35,3 +35,14 @@ def test_states_playback_example_runs():
     if not _egl_available():
         pytest.skip("no headless MuJoCo GL (EGL) available")
     _run("states_playback_workflow.py", "--steps", "30")
+
+
+def test_predictive_pose_example_runs():
+    """The pr5la one-command predictive-pose reproduction (tiny scale):
+    flagship scene -> render -> train with target_lookahead=6 -> eval."""
+    from test_playback import _egl_available
+
+    if not _egl_available():
+        pytest.skip("no headless MuJoCo GL (EGL) available")
+    _run("predictive_pose.py", "--demos", "3", "--demo-steps", "12",
+         "--steps", "8", "--batch", "4", "--image-hw", "32")
