@@ -70,6 +70,14 @@ ROWS = {
         "_eval_drop": ("agentview", "robot0_eye_in_hand")},
     "abl raw-proprio": {**FULL, "model.proprio_normalize": False},
     "abl no-proprio": {**FULL, "model.use_proprio": False},
+    # the clean temporal-value pair for lookahead labels (K=6 supplement):
+    # the servoing arm's qvel leaks target velocity to EVERY proprio row,
+    # so single-frame-with-proprio never pays the full lookahead penalty;
+    # without proprio, velocity is only recoverable across frames -- this
+    # row against "abl no-proprio" (LSTM) isolates what temporal context
+    # is worth when nothing else carries the velocity
+    "abl no-proprio single-frame": {
+        **FULL, "model.use_proprio": False, "model.temporal_frames": 1},
     "abl no-ema": {"data.cache_layout": "sharded"},
     # context row: same data WITHOUT lookahead labels (current pose) --
     # the task-difficulty floor the lookahead task sits above
