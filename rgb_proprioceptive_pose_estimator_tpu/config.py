@@ -727,13 +727,17 @@ def _pr5la() -> Config:
     """pr5 with PREDICTIVE pose targets: label[t] = pose at t+6
     (data.target_lookahead=6) -- "where will the object be when the
     gripper arrives", the robotically-motivated variant of the flagship
-    config. K=6 is the measured choice: at the flagship scene's motion
-    scale the K=6 offset (~18 cm / ~34 deg) clears the task's error
-    floor, where K=2's (~6 cm) sits below it and temporal context cannot
-    pay for itself (docs/DESIGN.md "Full-composition battery", the K=6
-    supplement). The temporal LSTM it relies on is pr5's own; everything
-    else is unchanged. One-command reproduction of the K=6 composition
-    row: examples/predictive_pose.py."""
+    config. K=6 puts the lookahead term (~18 cm / ~34 deg at the
+    flagship scene's motion scale) well above the task's error floor,
+    and every measured configuration learns real predictive structure
+    (beats the carry-forward bound; docs/DESIGN.md "K=6 supplement").
+    Measured caveats, same section: pick the temporal mode empirically
+    -- at 240-demo scale channel-stack posted the best position and
+    single-frame ties the LSTM whenever proprio or workspace geometry
+    leaks target velocity -- and do not expect usable K=6 ROTATION
+    prediction unless the spin rate is observable (it saturates to
+    chance on the flagship scene). One-command reproduction of the K=6
+    composition row: examples/predictive_pose.py."""
     return _pr5().override(**{
         "name": "pr5la_predictive_lookahead6",
         "data.target_lookahead": 6,

@@ -57,13 +57,14 @@ AUG_OFF = {
     "data.crop_margin": 0,
 }
 
+# row names avoid commas: --rows splits on them
 ROWS = {
-    "diag base (aug on, quat)": {**BASE},
+    "diag base (aug-on quat)": {**BASE},
     "diag aug-off (quat)": {**BASE, **AUG_OFF},
     "diag rot6d (aug on)": {**BASE, "model.rot_rep": "rot6d"},
     "diag aug-off rot6d": {**BASE, **AUG_OFF, "model.rot_rep": "rot6d"},
     # resolution DOWN-probe: same stored 128px frames, model at 64
-    "diag lowres-64 (aug on, quat)": {**BASE, "model.image_size": 64},
+    "diag lowres-64 (aug-on quat)": {**BASE, "model.image_size": 64},
     # per-camera orientation observability (aug off so the answer is not
     # confounded by the crop factor)
     "diag agentview-only (aug off)": {
@@ -71,7 +72,7 @@ ROWS = {
     "diag wrist-only (aug off)": {
         **BASE, **AUG_OFF, "model.cameras": ("robot0_eye_in_hand",)},
     # UP-probe rows (need --render224; trains on a fresh 224px render)
-    "diag 224 (aug on, quat)": {**BASE, "_data": "rendered224",
+    "diag 224 (aug-on quat)": {**BASE, "_data": "rendered224",
                                 "model.image_size": 224},
     "diag 224 aug-off (quat)": {**BASE, **AUG_OFF, "_data": "rendered224",
                                 "model.image_size": 224},
