@@ -671,7 +671,19 @@ def _pr3() -> Config:
 
 
 def _pr4() -> Config:
-    """ResNet-50 fusion, full augmentation, 224x224, bf16 (BASELINE.json:10)."""
+    """ResNet-50 fusion, full augmentation, 224x224, bf16 (BASELINE.json:10).
+
+    The 224 rung is evidence-backed: the r5 resolution grid measured 224
+    BETTER than 128 in every like-for-like pairing at 160-demo scale
+    (-0.9..-1.0 cm pos, -4.6..-13.1 deg rot; docs/DESIGN.md "The
+    resolution rung (r5)", docs/artifacts/res_grid_r5.json). The r4
+    readout that 224 "lost ~4 cm to 128" compared an image-only f32@128
+    row against this preset's proprio+bf16 configuration -- the gap was
+    the uninformative-proprio fusion branch (~4.2 cm at that data scale)
+    plus ~0.6 cm of bf16, not resolution. Caveats that DO bind at demo
+    scale: ResNet-50 ties ResNet-18 at 224 (capacity is not the
+    constraint), and an uninformative proprio stream costs real accuracy
+    (model.proprio_dropout / model.use_proprio=false are the knobs)."""
     return Config(
         name="pr4_resnet50_224_bf16",
         model=ModelConfig(

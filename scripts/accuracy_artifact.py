@@ -241,6 +241,16 @@ ROWS = {
         "model.image_size": 224, "model.dtype": "bfloat16",
         "data.augment": False, "data.augment_device": False,
         "data.crop_margin": 0},
+    # decomposition rows for the weak-2 confound: the r4 comparison
+    # ("image-only @128 f32 = 8.71 cm" vs "r18 @224 bf16 + proprio =
+    # 12.49 cm") moved THREE factors at once. These two rows isolate the
+    # proprio-distractor branch from the resolution rung at equal dtype:
+    "image-only-128-bf16": {
+        "model.use_proprio": False,
+        "model.image_size": 128, "model.dtype": "bfloat16"},
+    "image-only-224-bf16": {
+        "model.use_proprio": False,
+        "model.image_size": 224, "model.dtype": "bfloat16"},
     # --- beyond-reference ViT backbone (models/vit.py): held-out MAE on
     # the same fixture as the ResNet-18 "image-only" row, so the two
     # backbones are directly comparable at equal data/steps
