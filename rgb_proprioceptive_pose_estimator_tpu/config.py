@@ -675,8 +675,10 @@ def _pr4() -> Config:
 
     The 224 rung is evidence-backed: the r5 resolution grid measured 224
     BETTER than 128 in every like-for-like pairing at 160-demo scale
-    (-0.9..-1.0 cm pos, -4.6..-13.1 deg rot; docs/DESIGN.md "The
-    resolution rung (r5)", docs/artifacts/res_grid_r5.json). The r4
+    (~-0.9 cm pos / -5..-13 deg rot on the means; with seed replicas,
+    every individual 224 run beat every individual 128 run on both
+    metrics; docs/DESIGN.md "The resolution rung (r5)",
+    docs/artifacts/res_grid_r5.json). The r4
     readout that 224 "lost ~4 cm to 128" compared an image-only f32@128
     row against this preset's proprio+bf16 configuration -- the gap was
     the uninformative-proprio fusion branch (~4.2 cm at that data scale)

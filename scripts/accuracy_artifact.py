@@ -251,6 +251,18 @@ ROWS = {
     "image-only-224-bf16": {
         "model.use_proprio": False,
         "model.image_size": 224, "model.dtype": "bfloat16"},
+    # seed-variance replicas: same split (data.split_seed untouched),
+    # different init/training randomness -- the error bars for the
+    # resolution-grid deltas above
+    "resnet18-128-bf16 (seed1)": {
+        "model.image_size": 128, "model.dtype": "bfloat16",
+        "train.seed": 1},
+    "resnet18-128-bf16 (seed2)": {
+        "model.image_size": 128, "model.dtype": "bfloat16",
+        "train.seed": 2},
+    "resnet18-224-bf16 (seed1)": {
+        "model.image_size": 224, "model.dtype": "bfloat16",
+        "train.seed": 1},
     # --- beyond-reference ViT backbone (models/vit.py): held-out MAE on
     # the same fixture as the ResNet-18 "image-only" row, so the two
     # backbones are directly comparable at equal data/steps
