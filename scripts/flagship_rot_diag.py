@@ -76,6 +76,11 @@ ROWS = {
                                 "model.image_size": 224},
     "diag 224 aug-off (quat)": {**BASE, **AUG_OFF, "_data": "rendered224",
                                 "model.image_size": 224},
+    # seed replicas: error bars for the base-vs-rot6d delta (same split,
+    # different init/training randomness)
+    "diag base seed1": {**BASE, "train.seed": 1},
+    "diag rot6d seed1": {**BASE, "model.rot_rep": "rot6d",
+                         "train.seed": 1},
 }
 
 
