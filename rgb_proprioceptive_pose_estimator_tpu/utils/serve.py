@@ -327,6 +327,23 @@ class PoseService:
             self._sessions[sid] = (buf, now)     # most-recently-used last
             while len(self._sessions) > self.max_sessions:
                 self._sessions.popitem(last=False)
+        if (m.backbone != "none" and not m.use_proprio
+                and len(dead) == len(m.cameras)):
+            # every camera is absent from at least one frame of the window
+            # (disjoint per-frame sensor gaps), so whole-window structural
+            # absence leaves the model ZERO inputs. The frame itself was
+            # valid and WAS recorded, so the client should keep streaming:
+            # a camera revives once present for the full window. Without
+            # this guard the Predictor's "supplies none of the cameras"
+            # error would surface instead, wrongly telling the client its
+            # (live-camera-carrying) frame was malformed.
+            raise BadRequest(
+                "current window has no live camera: each of "
+                f"{list(m.cameras)} is missing from at least one of the "
+                f"last {max(m.temporal_frames, 1)} frames and this model "
+                "has no proprio branch to fall back on. The frame was "
+                "recorded; keep streaming -- a camera revives once it has "
+                "been present for the full window.")
         meta: Dict[str, Any] = {"window_fill": fill,
                                 "window_size": max(m.temporal_frames, 1)}
         if restarted:

@@ -73,6 +73,13 @@ def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+        # container-style checkpoint (Lightning et al.: the weights live
+        # UNDER a "state_dict" key next to epoch/optimizer entries) -- the
+        # dominant layout for published .ckpt files; without the unwrap the
+        # importer returns the wrapper dict and fails later with an opaque
+        # KeyError('conv1.weight')
+        sd = sd["state_dict"]
     return {k: _np(v) for k, v in sd.items()}
 
 

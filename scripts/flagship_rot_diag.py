@@ -91,8 +91,13 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=5000)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--out", default="/tmp/rppe_flag6",
-                    help="shares the battery's out dir so the states + "
-                         "128px render are reused, not re-rendered")
+                    help="pass the flagship_battery.py --out dir (default "
+                         "matches the r5 K=6 run's /tmp/rppe_flag6; the "
+                         "battery's own default is /tmp/rppe_flag) so the "
+                         "states + 128px render are reused, not "
+                         "re-rendered; a reused states file OVERRIDES "
+                         "--demos/--demo-steps (actual count is read back "
+                         "from the file and recorded in the artifact)")
     ap.add_argument("--rows", default="",
                     help="comma-separated subset of rows to run")
     ap.add_argument("--render224", action="store_true",
@@ -125,6 +130,17 @@ def main() -> None:
             cameras=("agentview", "robot0_eye_in_hand"),
             image_hw=224, target_body="cube")
         print(json.dumps({"rendered224": s}), flush=True)
+
+    # the exists-guards may have reused a states file written by an earlier
+    # battery run with different --demos; read the REAL count back so the
+    # artifact's held_out_demos states the data scale actually trained on
+    import h5py
+    with h5py.File(states, "r") as f:
+        n_demos = len(f["data"])
+    if n_demos != args.demos:
+        print(json.dumps({"note": f"reusing {states}: {n_demos} demos "
+                                  f"(--demos {args.demos} ignored)"}),
+              flush=True)
 
     want = set(r.strip() for r in args.rows.split(",")) if args.rows else None
     results_path = os.path.join(args.out, "rot_diag.json")
@@ -175,7 +191,7 @@ def main() -> None:
         results[name] = {"pos_mae_cm": round(best["pos_mae_cm"], 2),
                          "rot_mae_deg": round(best["rot_mae_deg"], 2),
                          "steps": args.steps,
-                         "held_out_demos": int(args.demos * 0.2)}
+                         "held_out_demos": int(n_demos * 0.2)}
         print(json.dumps({name: results[name]}), flush=True)
         with open(results_path, "w") as f:
             json.dump(results, f, indent=2)

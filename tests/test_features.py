@@ -295,6 +295,16 @@ def test_load_state_dict_file_extensions(tmp_path):
         out = load_state_dict_file(str(p))
     np.testing.assert_array_equal(out["w"], np.ones((2, 3)))
 
+    # container-style checkpoint (Lightning et al.): the weights live UNDER
+    # a "state_dict" key next to bookkeeping entries -- the dominant layout
+    # for published .ckpt files; the loader unwraps it instead of returning
+    # the wrapper (which would fail later as KeyError('conv1.weight'))
+    p = tmp_path / "container.ckpt"
+    torch.save({"epoch": 3, "global_step": 900, "state_dict": sd}, str(p))
+    out = load_state_dict_file(str(p))
+    assert set(out) == {"w"}
+    np.testing.assert_array_equal(out["w"], np.ones((2, 3)))
+
 
 def test_init_from_torch_npz_through_fit(tmp_path, demo_h5):
     """train.init_from_torch: a torchvision-style .npz state_dict

@@ -692,3 +692,64 @@ def test_session_dead_camera_requires_dropout_training(temporal_server):
     out = svc2.predict(f2, session="x", reset=True)
     assert out["window_fill"] == 1
     assert out["window_size"] == cfg.model.temporal_frames
+
+
+def test_session_window_with_no_live_camera_is_clear_400():
+    """Image-only model, disjoint per-frame sensor gaps: when the union of
+    missing cameras covers the whole camera set, whole-window structural
+    absence leaves the model zero inputs. That must surface as a CLEAR
+    BadRequest naming the window semantics (keep streaming; revival after
+    a full live window) -- not the Predictor's 'obs supplies none of the
+    cameras' shape error blaming a frame that DID carry a live camera --
+    and the stream must recover without a reset once a camera has been
+    present for the full window again."""
+    from rgb_proprioceptive_pose_estimator_tpu.engine.state import (
+        create_state,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.engine.train_step import (
+        make_optimizer,
+    )
+    from rgb_proprioceptive_pose_estimator_tpu.models import build_model
+    from rgb_proprioceptive_pose_estimator_tpu.utils.serve import BadRequest
+
+    cfg = rppe.preset("pr5").override(**{
+        "model.backbone": "cnn_small",
+        "model.image_size": 32,
+        "model.image_features": 32,
+        "model.head_hidden": [32],
+        "model.use_proprio": False,
+        "model.temporal_frames": 3,
+        "model.temporal_mode": "lstm",
+        "model.camera_dropout": 0.2,
+        "model.dtype": "float32",
+        "dist.num_devices": 1,
+    })
+    state = create_state(cfg, make_optimizer(cfg.train), seed=0)
+    svc = PoseService(cfg, max_batch=2, warmup=False,
+                      state=state, model=build_model(cfg.model))
+    rng = np.random.default_rng(3)
+    cams = list(cfg.model.cameras)
+
+    def frame(omit=None):
+        f = {"images": {c: rng.integers(0, 255, (32, 32, 3), np.uint8)
+                        for c in cams}}
+        if omit is not None:
+            del f["images"][omit]
+        return f
+
+    out = svc.predict(frame(omit=cams[0]), session="s", reset=True)
+    assert out["dead_cameras"] == [cams[0]]
+    # second frame omits the OTHER camera: each frame carried a live
+    # sensor, but the 3-frame window now has no camera present throughout
+    with pytest.raises(BadRequest, match="no live camera"):
+        svc.predict(frame(omit=cams[1]), session="s")
+    # full frame 1/3: window still spans both gaps -> still the clear error
+    with pytest.raises(BadRequest, match="keep streaming"):
+        svc.predict(frame(), session="s")
+    # full frames 2..3/3: cams[0]'s gap ages out first -> serving resumes
+    # with the surviving gap declared; then the window is fully live
+    out = svc.predict(frame(), session="s")
+    assert out["dead_cameras"] == [cams[1]]
+    out = svc.predict(frame(), session="s")
+    assert "dead_cameras" not in out
+    assert out["window_fill"] == cfg.model.temporal_frames
